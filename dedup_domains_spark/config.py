@@ -17,21 +17,25 @@ class DedupConfig:
     """Immutable config for the near-dup pipeline.
 
     The LSH geometry defaults (num_perm=128, bands=16, rows_per_band=8) put
-    the S-curve threshold at (1/b)^(1/r) ~= 0.71 Jaccard, tuned for the
+    the S-curve threshold at (1/b)^(1/r) ~= 0.42 Jaccard (recall-first; the verify stage prunes), for the
     "1-5% token edits" near-duplicate class (FIXTURES.md §2).
     """
 
     # --- shingling / signatures ---
     shingle_k: int = 7                 # tokens per shingle
     num_perm: int = 128                # MinHash permutations
-    bands: int = 16                    # LSH bands
-    rows_per_band: int = 8             # num_perm == bands * rows_per_band
+    bands: int = 32                    # LSH bands
+    rows_per_band: int = 4             # num_perm == bands * rows_per_band
     simhash_bits: int = 64
-    simhash_hamming_max: int = 3       # max Hamming distance for SimHash candidates
+    simhash_hamming_max: int = 4       # max Hamming distance for SimHash candidates
     seed: int = 42
 
     # --- verification ---
-    jaccard_threshold: float = 0.70    # candidate-pair acceptance (MinHash estimate)
+    # With k=7 token shingles, an x% token-edit near dup has Jaccard
+    # ~ (1-x)^7 / (2-(1-x)^7): 5% edits → J≈0.54. 0.5 covers the whole
+    # "1-5% token edits" class (FIXTURES.md §2) with margin; MinHash noise at
+    # J=0.5 is sqrt(0.25/128)≈0.044, so unrelated docs (J≈0) never pass.
+    jaccard_threshold: float = 0.50    # candidate-pair acceptance (MinHash estimate)
     use_exact_jaccard: bool = False    # exact shingle-set Jaccard instead of estimate
 
     # --- containment (parent-domain subsumption analog, D2) ---

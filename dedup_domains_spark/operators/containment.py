@@ -1,0 +1,113 @@
+"""Exact-substring containment — the distributed analog of the reference's
+parent-domain subsumption rule D2 (src/domaintree.c:330-339: a record wholly
+covered by another is dropped).
+
+LSH can't find containment: if small A is embedded in large B, Jaccard(A,B)
+= |A|/|B| is arbitrarily low. Instead:
+
+  1. every doc exposes its bottom-s shingle hashes as *probes* (computed in
+     the signature pass — a uniform random sample of its shingle set);
+  2. candidate containers come from an inverted index join: a doc's probes
+     against ALL docs' shingle postings. If A ⊆ B then every probe of A is a
+     posting of B; requiring all s probes to hit keeps false candidates rare
+     (miss probability for a non-superset is per-probe coverage^s);
+  3. postings with document frequency above a cap are dropped — boilerplate
+     shingles carry no containment signal and would otherwise create the
+     exact mega-bucket skew the reference's trie never faced;
+  4. surviving (small, big) candidates are verified by a true substring test
+     over content (Arrow batch, C-level str.find).
+
+At 100 TB the postings explode is the big cost: it's linear in corpus
+shingle mass, shuffles (shingle_hash, uid) longs only, and the DF cap is
+applied *before* the join (aggregate + semi-join), which also removes skew
+from the join key.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from dedup_domains_spark.config import DedupConfig
+from dedup_domains_spark.functions.signatures import explode_shingles_udf
+
+
+def containment_candidates(
+    df: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid"
+) -> DataFrame:
+    """Candidate (containee, container) pairs: every probe of the containee
+    appears in the container's shingle set and the container is larger.
+
+    df must carry (uid, content); sig_df carries (uid, n_shingles, probes).
+    """
+    probes = (
+        sig_df.filter(F.col("n_tokens") >= cfg.min_containee_tokens)
+        .select(
+            F.col(id_col).alias("small_id"),
+            F.size("probes").alias("n_probes"),
+            F.col("n_shingles").alias("small_sh"),
+            F.explode("probes").alias("shingle"),
+        )
+    )
+
+    postings = (
+        df.select(
+            F.col(id_col).alias("big_id"),
+            F.explode(explode_shingles_udf(cfg)(F.col("content"))).alias("shingle"),
+        )
+    )
+    # document-frequency cap BEFORE the join: boilerplate shingles out
+    rare = (
+        postings.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= cfg.containment_max_doc_freq)
+        .select("shingle")
+    )
+    postings = postings.join(rare, "shingle", "leftsemi")
+
+    sizes = sig_df.select(F.col(id_col).alias("big_id"), F.col("n_shingles").alias("big_sh"))
+
+    hits = (
+        probes.join(postings, "shingle")
+        .filter(F.col("small_id") != F.col("big_id"))
+        .groupBy("small_id", "big_id", "n_probes", "small_sh")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == F.col("n_probes"))
+        .join(sizes, "big_id")
+        .filter(F.col("big_sh") > F.col("small_sh"))
+        .select("small_id", "big_id")
+    )
+    return hits
+
+
+def verify_containment(
+    candidates: DataFrame, df: DataFrame, id_col: str = "uid"
+) -> DataFrame:
+    """True substring check: content(small) in content(big)."""
+    c = df.select(F.col(id_col).alias("_cid"), F.col("content").alias("_ct"))
+    j = (
+        candidates
+        .join(c.withColumnRenamed("_cid", "small_id").withColumnRenamed("_ct", "_ct_s"), "small_id")
+        .join(c.withColumnRenamed("_cid", "big_id").withColumnRenamed("_ct", "_ct_b"), "big_id")
+    )
+
+    @F.pandas_udf(BooleanType())
+    def _contains(small: pd.Series, big: pd.Series) -> pd.Series:
+        return pd.Series(
+            [bool(s) and bool(b) and (s in b) for s, b in zip(small, big)]
+        )
+
+    return (
+        j.filter(_contains(F.col("_ct_s"), F.col("_ct_b")))
+        .select("small_id", "big_id")
+    )
+
+
+def contained_pairs(
+    df: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid"
+) -> DataFrame:
+    """(small_id, big_id) verified exact-substring containment pairs."""
+    cand = containment_candidates(df, sig_df, cfg, id_col)
+    return verify_containment(cand, df, id_col)

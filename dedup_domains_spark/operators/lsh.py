@@ -1,0 +1,42 @@
+"""MinHash-LSH band candidate generation (SURVEY.md §2.3).
+
+Band keys are computed JVM-side: ``xxhash64`` over a slice of the signature
+array — the signature pandas UDF is the only Python in the path. The band
+explode is a bounded fan-out (x bands); the shuffle key is (band, band_hash)
+and skew is handled by the shared salted-star machinery in buckets.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedup_domains_spark.config import DedupConfig
+from dedup_domains_spark.operators.buckets import pairs_from_buckets
+
+
+def lsh_band_table(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid") -> DataFrame:
+    """(uid, band, band_hash) — one row per band per doc."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(
+                F.lit(i), F.slice("minhash", i * cfg.rows_per_band + 1, cfg.rows_per_band)
+            ).alias("band_hash"),
+        )
+        for i in range(cfg.bands)
+    ])
+    return (
+        sig_df.select(id_col, F.explode(bands).alias("_b"))
+        .select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
+    )
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid") -> DataFrame:
+    """Candidate edges (id_a, id_b) from LSH banding; distinct, a < b."""
+    bt = lsh_band_table(sig_df, cfg, id_col)
+    return pairs_from_buckets(
+        bt, ["band", "band_hash"], id_col=id_col, max_bucket_size=cfg.max_bucket_size
+    )

@@ -1,0 +1,200 @@
+"""The full near-duplicate detection + clustering pipeline (SURVEY.md §7,
+BASELINE.json north_star) — the distributed generalization of the
+reference's single pass (main.c:110-183):
+
+  identity → route → exact dedup → signatures → LSH ∪ SimHash candidates →
+  verify → containment → connected components → representative election →
+  survivors + cluster map + lineage + metrics.
+
+Scale shape:
+  * ``content`` is touched by exactly three stages (signature UDF, exact
+    containment verify, final survivor join); every wide shuffle carries
+    (uid, hashes, signature) only — SURVEY.md §4's shuffle-volume rule.
+  * near-dup stages run on exact-dedup representatives, not raw rows: at
+    web scale exact dups are the bulk of the mass and collapse first
+    (reference rule D1 runs before everything else for the same reason).
+  * each stage is checkpointable (plans/checkpoint.py) and contributes a
+    metrics row; lineage records why every dropped row died, which is the
+    distributed replacement for the reference's per-file counters
+    (pfb_dnsbl_prune.py:233-241).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedup_domains_spark.config import DedupConfig
+from dedup_domains_spark.operators.connected_components import connected_components
+from dedup_domains_spark.operators.containment import contained_pairs
+from dedup_domains_spark.operators.exact_dedup import exact_dedup
+from dedup_domains_spark.operators.lsh import lsh_candidate_pairs
+from dedup_domains_spark.operators.representative import elect_representatives
+from dedup_domains_spark.operators.simhash_buckets import simhash_candidate_pairs
+from dedup_domains_spark.operators.verify import verify_pairs_estimate, verify_pairs_exact
+from dedup_domains_spark.functions.signatures import add_signatures
+from dedup_domains_spark.plans.checkpoint import CheckpointContext
+from dedup_domains_spark.sources.code_corpus import with_row_identity
+
+
+@dataclass
+class PipelineResult:
+    survivors: DataFrame     # representative rows + passthrough (full columns)
+    cluster_map: DataFrame   # uid, cluster_id, rep_uid, is_rep, electable
+    edges: DataFrame         # id_a, id_b, edge_kind — the duplicate graph
+    lineage: DataFrame       # uid, action, reason
+    metrics: DataFrame       # stage, count
+    sig_df: DataFrame | None = None
+
+
+def _count_stage(name: str, df: DataFrame) -> DataFrame:
+    return df.select(F.lit(name).alias("stage")).groupBy("stage").count()
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    cfg: DedupConfig | None = None,
+    passthrough_predicate: str = "lang = 'binary'",
+    checkpoint_dir: str | None = None,
+) -> PipelineResult:
+    cfg = cfg or DedupConfig()
+    ckpt = CheckpointContext(spark, checkpoint_dir, cfg.config_hash())
+
+    # ---- identity + route (F2 analog: carry-over rows bypass dedup) ----
+    df = with_row_identity(corpus)
+    df = ckpt.stage(df, "identity").cache()
+    passthrough = df.filter(F.expr(passthrough_predicate))
+    dedupable = df.filter(~F.expr(passthrough_predicate))
+
+    # ---- D1: exact dedup on content_sha256 ----
+    exact = exact_dedup(dedupable)
+    exact_map = ckpt.stage(exact.cluster_map, "exact_map").cache()
+    exact_reps = dedupable.join(
+        exact_map.filter("is_rep").select("uid"), "uid", "leftsemi"
+    ).cache()
+
+    # ---- signatures on exact representatives only ----
+    sig_df = add_signatures(
+        exact_reps.select("uid", "content"), cfg
+    ).select("uid", "n_tokens", "n_shingles", "minhash", "simhash", "probes")
+    sig_df = ckpt.stage(sig_df, "signatures").cache()
+
+    # ---- candidate generation: LSH bands ∪ SimHash blocks ----
+    lsh_pairs = lsh_candidate_pairs(sig_df, cfg)
+    sim_pairs = simhash_candidate_pairs(sig_df, cfg)
+    candidates = lsh_pairs.unionByName(sim_pairs).distinct()
+    candidates = ckpt.stage(candidates, "candidates")
+
+    # ---- verification ----
+    if cfg.use_exact_jaccard:
+        near = verify_pairs_exact(candidates, exact_reps, cfg)
+    else:
+        near = verify_pairs_estimate(candidates, sig_df, cfg)
+    near = ckpt.stage(near.select("id_a", "id_b"), "near_pairs")
+
+    # ---- D2 analog: exact-substring containment ----
+    contained = contained_pairs(exact_reps, sig_df, cfg)
+    contained = ckpt.stage(contained, "contained_pairs").cache()
+
+    # ---- edge union: near + containment + exact-dup membership ----
+    exact_edges = (
+        exact_map.filter(~F.col("is_rep"))
+        .select(F.col("rep_uid").alias("id_a"), F.col("uid").alias("id_b"))
+    )
+    edges = (
+        near.withColumn("edge_kind", F.lit("near"))
+        .unionByName(
+            contained.select(
+                F.col("small_id").alias("id_a"), F.col("big_id").alias("id_b")
+            ).withColumn("edge_kind", F.lit("contained"))
+        )
+        .unionByName(exact_edges.withColumn("edge_kind", F.lit("exact")))
+    )
+    edges = ckpt.stage(edges, "edges").cache()
+
+    # ---- connected components + singleton backfill ----
+    labels = connected_components(
+        edges.select("id_a", "id_b"), max_iterations=cfg.cc_max_iterations
+    )
+    singletons = (
+        dedupable.select("uid")
+        .join(labels.select("uid"), "uid", "leftanti")
+        .withColumn("cluster_id", F.col("uid"))
+    )
+    all_labels = labels.unionByName(singletons)
+    all_labels = ckpt.stage(all_labels, "clusters").cache()
+
+    # ---- electability: any copy of contained content cannot represent ----
+    contained_reps = contained.select(F.col("small_id").alias("rep_uid")).distinct()
+    non_electable = exact_map.join(contained_reps, "rep_uid", "leftsemi").select("uid")
+    members = (
+        all_labels.join(
+            dedupable.select("uid", "repo", "path", "commit"), "uid", "inner"
+        )
+        .join(non_electable.withColumn("_ne", F.lit(True)), "uid", "left")
+        .withColumn("electable", F.coalesce(~F.col("_ne"), F.lit(True)))
+        .drop("_ne")
+    )
+
+    elected = elect_representatives(members)
+    cluster_map = ckpt.stage(
+        elected.select("uid", "cluster_id", "rep_uid", "is_rep", "electable"),
+        "cluster_map",
+    ).cache()
+
+    # ---- survivors: cluster representatives + passthrough carry-over ----
+    survivors = (
+        df.join(cluster_map.filter("is_rep").select("uid"), "uid", "leftsemi")
+        .unionByName(passthrough)
+    )
+    survivors = ckpt.stage(survivors, "survivors")
+
+    # ---- lineage: why every row lived or died (M1 analog) ----
+    lineage = (
+        cluster_map.withColumn(
+            "action",
+            F.when(F.col("is_rep"), F.lit("kept_representative"))
+            .when(~F.col("electable"), F.lit("dropped_contained"))
+            .otherwise(F.lit("dropped_duplicate")),
+        ).select("uid", "cluster_id", "rep_uid", "action")
+        .unionByName(
+            passthrough.select(
+                "uid",
+                F.col("uid").alias("cluster_id"),
+                F.col("uid").alias("rep_uid"),
+                F.lit("passthrough").alias("action"),
+            )
+        )
+    )
+
+    metrics = (
+        _count_stage("input", df)
+        .unionByName(_count_stage("passthrough", passthrough))
+        .unionByName(_count_stage("dedupable", dedupable))
+        .unionByName(_count_stage("exact_reps", exact_reps))
+        .unionByName(_count_stage("candidate_pairs", candidates))
+        .unionByName(_count_stage("near_pairs", near))
+        .unionByName(_count_stage("contained_pairs", contained))
+        .unionByName(_count_stage("clusters", cluster_map.filter("is_rep")))
+        .unionByName(_count_stage("survivors", survivors))
+    )
+
+    return PipelineResult(
+        survivors=survivors,
+        cluster_map=cluster_map,
+        edges=edges,
+        lineage=lineage,
+        metrics=metrics,
+        sig_df=sig_df,
+    )
+
+
+def assert_sha_invariant(result: PipelineResult) -> int:
+    """Every surviving record's content hashes to its recorded sha256
+    (BASELINE.json per-row invariant). Returns violation count (must be 0)."""
+    return result.survivors.filter(
+        F.sha2(F.col("content"), 256) != F.col("content_sha256")
+    ).count()
