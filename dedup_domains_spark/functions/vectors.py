@@ -1,0 +1,118 @@
+"""Embedding similarity — brute-force cosine as the correctness baseline and
+an LSH-bucketed variant as the scale path (SURVEY.md 'similarity search').
+
+Dot products are pure Catalyst (`zip_with` + `aggregate` over
+array<float/double>), so the quadratic baseline stays JVM-side; the scale
+path buckets by random-hyperplane signs (SimHash-for-vectors) so candidate
+sets shrink from O(N) to a bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self). Correctness
+    baseline: O(|Q|*|C|) — use the LSH variant for large Q."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
+    """pandas_udf mapping an embedding to a random-hyperplane sign bucket.
+    Vectors in the same bucket are cosine-close with high probability; use
+    multiple independent tables (vary seed) to trade recall for cost."""
+    from pyspark.sql.types import IntegerType
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @F.pandas_udf(IntegerType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes) > 0
+        out = np.zeros(len(m), dtype=np.int32)
+        for j in range(n_planes):
+            out |= signs[:, j].astype(np.int32) << j
+        return pd.Series(out)
+
+    return _bucket
+
+
+def ann_topk_lsh(
+    queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
+    n_planes: int = 10, n_tables: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: union of per-table hyperplane-bucket joins, then
+    exact cosine rank within candidates. Scale path for ANN search."""
+    from functools import reduce
+    from pyspark.sql import Window
+
+    cand = None
+    for t in range(n_tables):
+        bu = hyperplane_bucket_udf(dim, n_planes, seed + t)
+        qb = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+            bu(F.col(vec_col)).alias("_bkt"),
+        )
+        cb = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+            bu(F.col(vec_col)).alias("_bkt"),
+        )
+        j = qb.join(cb, "_bkt").filter(F.col("query_id") != F.col("neighbor_id"))
+        cand = j if cand is None else cand.unionByName(j)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

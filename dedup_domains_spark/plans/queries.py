@@ -1,0 +1,790 @@
+"""Query catalog: every SURVEY.md §2 operator (and the training-data ops)
+exposed as a (Spark DataFrame builder, DuckDB oracle SQL) pair over the
+driver-provided tables at /root/testdata/sf*/.
+
+Contract (README / __spark_entry__.py): each Spark builder takes
+(spark, sf_dir) and returns a DataFrame whose column NAMES and VALUES match
+the oracle SQL run by DuckDB on the same parquet files. Aggregates are
+aliased identically on both sides; floats are rounded on both sides.
+Entries with oracle=None are non-SQL-expressible (signature/LSH internals,
+iterative pipeline) and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dedup_domains_spark.config import DedupConfig
+from dedup_domains_spark.functions import text as T
+from dedup_domains_spark.functions import vectors as V
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class CatalogQuery:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]          # DuckDB SQL or None (rows-only check)
+    survey_ref: str                # SURVEY.md §2 operator ids this covers
+
+
+QUERIES: dict[str, CatalogQuery] = {}
+
+
+def _q(name: str, oracle: Optional[str], survey_ref: str):
+    def deco(fn):
+        QUERIES[name] = CatalogQuery(fn, oracle, survey_ref)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# D1: exact-duplicate collapse (reference domaintree.c:259-294)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "exact_dedup_clusters",
+    """
+    SELECT sha256(text) AS content_sha256,
+           min(doc_id)  AS rep_id,
+           count(*)     AS cluster_size
+    FROM documents GROUP BY sha256(text)
+    """,
+    "D1",
+)
+def exact_dedup_clusters(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("content_sha256"))
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("cluster_size"))
+    )
+
+
+@_q(
+    "exact_dedup_survivors",
+    """
+    SELECT doc_id, content_sha256 FROM (
+      SELECT doc_id, sha256(text) AS content_sha256,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+    "D1,O1",
+)
+def exact_dedup_survivors(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "content_sha256", F.sha2("text", 256)
+    )
+    w = Window.partitionBy("content_sha256").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").select("doc_id", "content_sha256")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1: validity filter (reference pfb_prune.c:147-163, pfb_dnsbl_prune.py:208-217)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "validity_filter",
+    """
+    SELECT doc_id,
+           CASE WHEN n_chars < 60 THEN 'too_short'
+                WHEN n_chars > 400 THEN 'too_long'
+                ELSE 'ok' END AS validity
+    FROM documents
+    """,
+    "F1",
+)
+def validity_filter(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("n_chars") < 60, "too_short")
+        .when(F.col("n_chars") > 400, "too_long")
+        .otherwise("ok")
+        .alias("validity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2: type router (reference pfb_prune.c:186-210)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "type_router",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 'carry_over' ELSE 'dedup' END AS route
+    FROM events
+    """,
+    "F2",
+)
+def type_router(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", "carry_over")
+        .otherwise("dedup").alias("route"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1/X1: reversed-label view + canonical sort (reference domain.c:236-318,
+# sort_in_memory.py:57-73)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "reversed_host_labels",
+    """
+    SELECT doc_id,
+           array_to_string(list_reverse(string_split(source || '.example.com', '.')), '.')
+             AS reversed_host
+    FROM documents
+    """,
+    "T1,X1",
+)
+def reversed_host_labels(spark, sf_dir):
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.reverse(F.split(host, r"\.")), ".").alias("reversed_host"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2: parent-domain subsumption via anti-join (reference domaintree.c:330-339)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "parent_domain_subsumption",
+    """
+    WITH rows_d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'd' || (doc_id % 50) || '.com'
+                  ELSE 'h' || doc_id || '.d' || (doc_id % 50) || '.com' END AS domain,
+             CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS strength
+      FROM documents)
+    SELECT doc_id, domain FROM rows_d d
+    WHERE d.strength = 1
+       OR NOT EXISTS (SELECT 1 FROM rows_d p
+                      WHERE p.strength = 1
+                        AND p.domain = 'd' || (d.doc_id % 50) || '.com')
+    """,
+    "D2,D3",
+)
+def parent_domain_subsumption(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("d"), (F.col("doc_id") % 50).cast("string"), F.lit(".com")),
+        ).otherwise(
+            F.concat(
+                F.lit("h"), F.col("doc_id").cast("string"), F.lit(".d"),
+                (F.col("doc_id") % 50).cast("string"), F.lit(".com"),
+            )
+        ).alias("domain"),
+        F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0).alias("strength"),
+    )
+    full_keys = d.filter("strength = 1").select(F.col("domain").alias("full_domain")).distinct()
+    children = d.filter("strength = 0").withColumn(
+        "parent",
+        F.concat(F.lit("d"), (F.col("doc_id") % 50).cast("string"), F.lit(".com")),
+    )
+    kept_children = children.join(
+        F.broadcast(full_keys), children["parent"] == full_keys["full_domain"], "leftanti"
+    )
+    return d.filter("strength = 1").select("doc_id", "domain").unionByName(
+        kept_children.select("doc_id", "domain")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1/D3: strength-upgrade election (reference domaintree.c:259-294)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "strength_election",
+    """
+    SELECT key, doc_id AS winner_id, strength AS winner_strength FROM (
+      SELECT doc_id % 25 AS key, doc_id, doc_id % 3 AS strength,
+             row_number() OVER (PARTITION BY doc_id % 25
+                                ORDER BY doc_id % 3 DESC, doc_id ASC) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+    "D1,D3",
+)
+def strength_election(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 25).alias("key"),
+        "doc_id",
+        (F.col("doc_id") % 3).alias("strength"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("strength").desc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        .select("key", F.col("doc_id").alias("winner_id"),
+                F.col("strength").alias("winner_strength"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1: order-restoring output (reference pfb_prune.c:639-659)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "ordered_survivors",
+    """
+    SELECT source,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS pos,
+           doc_id
+    FROM documents
+    """,
+    "O1,O2",
+)
+def ordered_survivors(spark, sf_dir):
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "source", F.row_number().over(w).alias("pos"), "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4: regex-kill (reference pfb_dnsbl_prune.py:36-57,187-190)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "regex_kill",
+    """
+    SELECT doc_id FROM documents
+    WHERE NOT (regexp_matches(text, '^key') OR regexp_matches(text, 'spark'))
+    """,
+    "D4",
+)
+def regex_kill_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        ~(F.col("text").rlike("^key") | F.col("text").rlike("spark"))
+    ).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# M1: metrics rollup (reference pfb_dnsbl_prune.py:233-241 counters)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "metrics_rollup",
+    """
+    SELECT source,
+           count(*) AS n_input,
+           count(DISTINCT sha256(text)) AS n_unique,
+           count(*) - count(DISTINCT sha256(text)) AS n_dup
+    FROM documents GROUP BY source
+    """,
+    "M1",
+)
+def metrics_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.countDistinct(F.sha2("text", 256)).alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct(F.sha2("text", 256))).alias("n_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2: multi-source union (reference pfb_prune.c:219-261)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "multi_source_union",
+    """
+    SELECT c_name AS name, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_name AS name, 'supplier' AS src FROM supplier
+    """,
+    "S2",
+)
+def multi_source_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s)
+
+
+# ---------------------------------------------------------------------------
+# S3: CSV tokenize / project (reference csvline.c:202-234)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "csv_tokenize",
+    """
+    SELECT doc_id,
+           string_split(doc_id || ',' || lang || ',' || source, ',')[2] AS col_lang,
+           string_split(doc_id || ',' || lang || ',' || source, ',')[3] AS col_source
+    FROM documents
+    """,
+    "S3",
+)
+def csv_tokenize(spark, sf_dir):
+    line = F.concat_ws(",", F.col("doc_id").cast("string"), "lang", "source")
+    cols = F.split(line, ",")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(cols, 2).alias("col_lang"),
+        F.element_at(cols, 3).alias("col_source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "token_count",
+    r"""
+    SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_tokens FROM documents
+    """,
+    "text:token_count",
+)
+def token_count_q(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+_STOP_SQL = "['the','a','of','and','to','in','is','for']"
+
+
+@_q(
+    "lang_id",
+    f"""
+    SELECT doc_id,
+           round(len(list_filter(string_split(lower(text), ' '),
+                                 x -> list_contains({_STOP_SQL}, x)))
+                 / greatest(len(string_split(lower(text), ' ')), 1), 4)
+             AS stopword_ratio,
+           (len(list_filter(string_split(lower(text), ' '),
+                            x -> list_contains({_STOP_SQL}, x)))
+            / greatest(len(string_split(lower(text), ' ')), 1)) >= 0.05
+             AS is_english
+    FROM documents
+    """,
+    "text:lang_id",
+)
+def lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ratio = T.stopword_ratio(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(ratio, 4).alias("stopword_ratio"),
+        (ratio >= 0.05).alias("is_english"),
+    )
+
+
+@_q(
+    "quality_score",
+    rf"""
+    SELECT doc_id,
+           round(
+             0.4 * least(len(regexp_extract_all(text, '\w+')) / 100.0, 1.0)
+           + 0.3 * least((len(list_filter(string_split(lower(text), ' '),
+                                          x -> list_contains({_STOP_SQL}, x)))
+                          / greatest(len(string_split(lower(text), ' ')), 1)) * 5.0, 1.0)
+           + 0.3 * (1.0 - len(regexp_replace(text, '[\w\s]', '', 'g'))
+                        / greatest(length(text), 1))
+           , 4) AS quality
+    FROM documents
+    """,
+    "text:quality",
+)
+def quality_score_q(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+    "text:fingerprint",
+)
+def doc_fingerprint_q(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (SQL-expressible dedup variant)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(ic * 1.0 / (sa.sz + sb.sz - ic), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ic * 1.0 / (sa.sz + sb.sz - ic) >= 0.5
+    """,
+    "dedup:ngram_jaccard",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(T.ngram_shingles(F.col("text"), 3)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    jac = F.col("ic") / (F.col("sza") + F.col("szb") - F.col("ic"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring containment pairs (D2 analog, SQL-expressible variant)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "containment_pairs",
+    """
+    SELECT a.doc_id AS small_id, b.doc_id AS big_id
+    FROM documents a JOIN documents b
+      ON a.doc_id != b.doc_id
+     AND length(a.text) < length(b.text)
+     AND position(a.text IN b.text) > 0
+    """,
+    "D2:containment",
+)
+def containment_pairs_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("small_id"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("big_id"), F.col("text").alias("tb"))
+    return (
+        a.crossJoin(b)
+        .filter(
+            (F.col("small_id") != F.col("big_id"))
+            & (F.length("ta") < F.length("tb"))
+            & (F.instr(F.col("tb"), F.col("ta")) > 0)
+        )
+        .select("small_id", "big_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over n-gram-Jaccard edges (union-find vs recursive CTE)
+# ---------------------------------------------------------------------------
+
+_CC_EDGES_SQL = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ic * 1.0 / (sa.sz + sb.sz - ic) >= 0.3)
+"""
+
+@_q(
+    "connected_components_ngram",
+    _CC_EDGES_SQL + """
+    , edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON r.id = e.src)
+    SELECT id AS uid, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    "clustering:connected_components",
+)
+def connected_components_ngram(spark, sf_dir):
+    from dedup_domains_spark.operators.connected_components import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(T.ngram_shingles(F.col("text"), 3)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    jac = F.col("ic") / (F.col("sza") + F.col("szb") - F.col("ic"))
+    pairs = inter.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.3).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Classic relational coverage (agg / join / window / time rollup / JSON)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "tpch_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)       AS sum_qty,
+           round(sum(l_extendedprice), 2)  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 4)       AS avg_disc,
+           count(*)                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg (beyond reference: SURVEY.md §2.2)",
+)
+def tpch_pricing_summary(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+    "window (beyond reference)",
+)
+def top_orders_per_customer(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "nation_revenue_join",
+    """
+    SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "join (beyond reference; broadcast dim)",
+)
+def nation_revenue_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "time rollup (streaming analog, batch)",
+)
+def events_hourly_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@_q(
+    "events_first_per_user",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    "dedup-by-key (streaming dropDuplicates analog)",
+)
+def events_first_per_user(spark, sf_dir):
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+@_q(
+    "events_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    "scalar fn: json (beyond reference)",
+)
+def events_json_extract(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+@_q(
+    "embedding_topk",
+    """
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10) WHERE rank <= 5
+    """,
+    "similarity search: brute-force cosine top-k",
+)
+def embedding_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return V.brute_force_topk(e.filter("vec_id < 10"), e, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Signature/LSH internals — not SQL-expressible (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+def _docs_as_corpus(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+
+
+@_q("minhash_lsh_pairs", None, "dedup:minhash_lsh (rows-only)")
+def minhash_lsh_pairs(spark, sf_dir):
+    from dedup_domains_spark.functions.signatures import add_signatures
+    from dedup_domains_spark.operators.lsh import lsh_candidate_pairs
+    from dedup_domains_spark.operators.verify import verify_pairs_estimate
+    from dedup_domains_spark.sources.code_corpus import with_row_identity
+
+    cfg = DedupConfig()
+    df = with_row_identity(_docs_as_corpus(spark, sf_dir))
+    sig = add_signatures(df.select("uid", "content"), cfg)
+    cand = lsh_candidate_pairs(sig, cfg)
+    return verify_pairs_estimate(cand, sig, cfg)
+
+
+@_q("simhash_pairs", None, "dedup:simhash (rows-only)")
+def simhash_pairs(spark, sf_dir):
+    from dedup_domains_spark.functions.signatures import add_signatures
+    from dedup_domains_spark.operators.simhash_buckets import simhash_candidate_pairs
+    from dedup_domains_spark.sources.code_corpus import with_row_identity
+
+    cfg = DedupConfig()
+    df = with_row_identity(_docs_as_corpus(spark, sf_dir))
+    sig = add_signatures(df.select("uid", "content"), cfg)
+    return simhash_candidate_pairs(sig, cfg)
+
+
+@_q("code_pipeline_survivors", None, "full pipeline (rows-only)")
+def code_pipeline_survivors(spark, sf_dir):
+    from dedup_domains_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(spark, _docs_as_corpus(spark, sf_dir), DedupConfig())
+    return res.survivors.select("repo", "path", "lang", "content_sha256")
+
+
+@_q("ann_lsh_topk", None, "similarity search: LSH ANN (rows-only)")
+def ann_lsh_topk_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return V.ann_topk_lsh(e.filter("vec_id < 10"), e, dim=64, k=5)
