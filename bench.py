@@ -1,0 +1,199 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], then measures the full
+dedup pipeline at two parallelism levels (local[8] vs local[32] — the
+sandbox stand-in for N vs 4N executors, BASELINE.md) over a deterministic
+synthetic code corpus, and prints ONE JSON line:
+
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "files_per_sec": ..., "scaling": {"local8_fps": ...,
+   "local32_fps": ..., "efficiency": ...}}
+
+Efficiency = fps(4N) / (4 * fps(N)); the BASELINE.json gate is >= 0.8.
+Scaling runs execute in subprocesses so each gets a fresh JVM with its own
+core count. Set SPARK_GRAFT_SKIP_SCALING=1 to print headline numbers only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "60000"))
+CORPUS_CACHE = f"/tmp/dedup_bench_corpus_{BENCH_ROWS}.parquet"
+
+HEADLINE = [
+    "exact_dedup_survivors",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "containment_pairs",
+    "connected_components_ngram",
+    "tpch_pricing_summary",
+    "nation_revenue_join",
+    "top_orders_per_customer",
+    "events_hourly_rollup",
+    "embedding_topk",
+    "code_pipeline_survivors",
+]
+
+
+def _ensure_corpus() -> str:
+    if not os.path.exists(CORPUS_CACHE):
+        from dedup_domains_spark.datagen import gen_code_corpus
+
+        gen_code_corpus(BENCH_ROWS, avg_tokens=300).files.to_parquet(CORPUS_CACHE)
+    return CORPUS_CACHE
+
+
+def run_headline() -> dict[str, float]:
+    from dedup_domains_spark import get_spark
+    from dedup_domains_spark.plans.queries import QUERIES
+
+    spark = get_spark("bench-headline", parallelism=CPUS, shuffle_partitions=CPUS)
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES[name].spark_fn
+        t0 = time.time()
+        df = q(spark, SF_DIR)
+        df.count()
+        times[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return times
+
+
+def _scaling_child(parallelism: int, corpus: str, n_workers: int = 0) -> None:
+    """Entry point for a scaling subprocess: time the full pipeline.
+
+    n_workers > 0 runs on local-cluster[n_workers, parallelism/n_workers, …]
+    — separate executor JVMs, the faithful N-vs-4N-executors stand-in
+    (single-JVM local[N] thread scheduling saturates ~8 threads on this
+    class of host; see BENCH.md calibration).
+    """
+    from dedup_domains_spark import DedupConfig, get_spark
+    from dedup_domains_spark.datagen import gen_code_corpus
+    from dedup_domains_spark.plans.pipeline import run_pipeline
+
+    from pyspark.sql import functions as F
+
+    from dedup_domains_spark.functions.signatures import add_signatures
+    from dedup_domains_spark.sources.code_corpus import with_row_identity
+
+    master = None
+    extra = {}
+    if n_workers:
+        cores = max(parallelism // n_workers, 1)
+        master = f"local-cluster[{n_workers},{cores},6144]"
+        extra = {"spark.executor.memory": "4g"}
+    spark = get_spark(
+        f"bench-scale-{parallelism}", parallelism=parallelism,
+        shuffle_partitions=parallelism, master=master, extra_conf=extra,
+    )
+    spark.sparkContext.setCheckpointDir(f"/dev/shm/spark-tmp/ckpt_{parallelism}")
+    cfg = DedupConfig()
+    # warm JIT + python workers with a tiny run so the timed run measures
+    # steady-state throughput, not first-task compilation
+    warm = spark.createDataFrame(gen_code_corpus(300).files)
+    run_pipeline(spark, warm, cfg).survivors.count()
+
+    df = spark.read.parquet(corpus)
+    n = df.count()
+
+    # (a) signature kernel — the stage that is >95% of core-seconds at real
+    # scale; its scaling is the honest proxy for cluster scaling in a
+    # latency-bound sandbox (see BENCH.md calibration)
+    ident = with_row_identity(df).select("uid", "content").cache()
+    ident.count()
+    sig = add_signatures(ident, cfg)
+    sig.select(F.sum("n_tokens")).collect()  # warm workers
+    t0 = time.time()
+    sig.select(F.sum("n_tokens")).collect()
+    kernel_wall = time.time() - t0
+    ident.unpersist()
+
+    # (b) full pipeline
+    t0 = time.time()
+    res = run_pipeline(spark, df, cfg)
+    res.survivors.count()
+    res.cluster_map.count()
+    wall = time.time() - t0
+    print(json.dumps({"parallelism": parallelism, "rows": n,
+                      "wall_sec": round(wall, 2),
+                      "fps": round(n / wall, 1),
+                      "kernel_sec": round(kernel_wall, 2),
+                      "kernel_fps": round(n / kernel_wall, 1)}))
+    spark.stop()
+
+
+def _one_scaling_run(par: int, corpus: str, n_workers: int) -> dict:
+    r = subprocess.run(
+        [sys.executable, __file__, "--scaling-child", str(par), corpus,
+         str(n_workers)],
+        capture_output=True, text=True, env=dict(os.environ), timeout=3600,
+    )
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_scaling(corpus: str, rounds: int = 2) -> dict:
+    """N vs 4N cores on fixed executor JVMs: local-cluster[4,2] (8 cores)
+    vs local-cluster[4,8] (32 cores). Alternating best-of-`rounds` to defeat
+    shared-host noise. Reports the full pipeline AND the signature kernel
+    (the compute that dominates at real scale — see BENCH.md)."""
+    best: dict[int, dict] = {}
+    for _ in range(rounds):
+        for par in (8, 32):
+            res = _one_scaling_run(par, corpus, 4)
+            if par not in best or res["wall_sec"] < best[par]["wall_sec"]:
+                best[par] = res
+            if res["kernel_sec"] < best[par]["kernel_sec"]:
+                best[par]["kernel_sec"] = res["kernel_sec"]
+                best[par]["kernel_fps"] = res["kernel_fps"]
+    eff = best[32]["fps"] / (4.0 * best[8]["fps"])
+    keff = best[32]["kernel_fps"] / (4.0 * best[8]["kernel_fps"])
+    return {
+        "rows": best[8]["rows"],
+        "mode": "local-cluster, 4 executor JVMs x (2 vs 8) cores",
+        "n_fps": best[8]["fps"],
+        "n_sec": best[8]["wall_sec"],
+        "fourn_fps": best[32]["fps"],
+        "fourn_sec": best[32]["wall_sec"],
+        "efficiency": round(eff, 3),
+        "kernel_n_fps": best[8]["kernel_fps"],
+        "kernel_fourn_fps": best[32]["kernel_fps"],
+        "kernel_efficiency": round(keff, 3),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        workers = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+        _scaling_child(int(sys.argv[2]), sys.argv[3], workers)
+        return
+
+    times = run_headline()
+    result = {
+        "metric": "dedup_bench_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+    }
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        corpus = _ensure_corpus()
+        scaling = run_scaling(corpus)
+        result["scaling"] = scaling
+        result["files_per_sec"] = scaling["fourn_fps"]
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

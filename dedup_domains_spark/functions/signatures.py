@@ -3,15 +3,14 @@ containment probes — in ONE Arrow batch pass over ``content``.
 
 This is the generalization of the reference's per-row label decomposition
 (reference src/domain.c:236-318) to code shingles (SURVEY.md §2.3, T1).
-Everything is numpy over Arrow batches: no per-row Python in the hot path
-(BASELINE.json input_hint). MinHash uses 31-bit universal hashing
-((a*x+b) mod p, p = 2^31-1) so products stay inside uint64; SimHash is
-64-bit over the raw shingle hashes.
+Tokenization + shingle hashing is whole-batch numpy (tokenize_np.py); MinHash
+uses 31-bit universal hashing ((a*x+b) mod 2^31-1, Mersenne reduction, no
+division) vectorized with minimum.reduceat over per-doc segments; SimHash is
+64-bit with unpackbits-based per-bit majority. No per-row Python anywhere
+(BASELINE.json input_hint).
 """
 
 from __future__ import annotations
-
-import re
 
 import numpy as np
 import pandas as pd
@@ -26,9 +25,10 @@ from pyspark.sql.types import (
 )
 
 from dedup_domains_spark.config import DedupConfig
+from dedup_domains_spark.functions.tokenize_np import batch_shingle_segments
 
 _MERSENNE31 = (1 << 31) - 1
-_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+_P31 = np.uint64(_MERSENNE31)
 
 SIGNATURE_STRUCT = StructType([
     StructField("n_tokens", IntegerType()),
@@ -37,6 +37,10 @@ SIGNATURE_STRUCT = StructType([
     StructField("simhash", LongType()),
     StructField("probes", ArrayType(LongType())),
 ])
+# NOTE: the full shingle set is deliberately NOT emitted/cached — materializing
+# ~500 longs/doc through Arrow and the block cache costs far more (heap
+# pressure poisons every downstream stage) than re-deriving postings with
+# explode_shingles_udf where containment needs them.
 
 
 def _perm_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
@@ -46,71 +50,80 @@ def _perm_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct 64-bit shingle hashes of a document (k-token shingles).
+def _mod_mersenne31(v: np.ndarray) -> np.ndarray:
+    """v mod (2^31 - 1) without integer division (valid for v < 2^62)."""
+    v = (v & _P31) + (v >> np.uint64(31))
+    v = (v & _P31) + (v >> np.uint64(31))
+    v[v >= _P31] -= _P31
+    return v
 
-    Documents shorter than k tokens fall back to a single whole-text shingle
-    so exact duplicates still co-bucket.
-    """
-    toks = _TOKEN_RE.findall(text) if text else []
-    if len(toks) >= k:
-        sh = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    else:
-        sh = [text or ""]
-    arr = pd.util.hash_array(np.asarray(sh, dtype=object))  # uint64, stable
-    return np.unique(arr)
+
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct (sorted, uint64) shingle hashes of one document — singleton
+    wrapper over the batch path; used by tests and exact-Jaccard verify."""
+    sh, offsets, counts, _ = batch_shingle_segments([text], k)
+    return sh[offsets[0]:offsets[0] + counts[0]]
 
 
 def _batch_signatures(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
     a, b = _perm_params(cfg)
-    n_tokens, n_shingles, minhashes, simhashes, probes = [], [], [], [], []
+    flat, offsets, counts, n_tokens = batch_shingle_segments(
+        texts.tolist(), cfg.shingle_k
+    )
+    ndocs = len(counts)
+    minhashes: list = [None] * ndocs
+    probes: list = [None] * ndocs
 
-    all_shingles: list[np.ndarray] = []
-    for t in texts:
-        toks = _TOKEN_RE.findall(t) if t else []
-        n_tokens.append(len(toks))
-        sh = shingle_hashes(t or "", cfg.shingle_k)
-        n_shingles.append(len(sh))
-        all_shingles.append(sh)
+    flat31 = flat % _P31
+    # MinHash: one segmented min per permutation (reduceat needs non-empty
+    # segments — batch_shingle_segments guarantees counts >= 1)
+    sig = np.empty((ndocs, cfg.num_perm), dtype=np.int64)
+    for p in range(cfg.num_perm):
+        v = _mod_mersenne31(a[p] * flat31 + b[p])
+        sig[:, p] = np.minimum.reduceat(v, offsets).astype(np.int64)
 
-    if all_shingles:
-        flat = np.concatenate(all_shingles)
-        lengths = np.array([len(s) for s in all_shingles])
-        offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-        flat31 = flat % np.uint64(_MERSENNE31)
+    # SimHash: per-bit ones-count per doc. Strided segmented sums (reduceat
+    # axis=0 / cumsum axis=0) are catastrophically slow in numpy — transpose
+    # to contiguous rows and run 64 cheap 1-D reduceats instead.
+    bytes_t = np.ascontiguousarray(flat.view(np.uint8).reshape(-1, 8).T)
+    bits_t = np.unpackbits(bytes_t, axis=0, bitorder="little")  # (64, N) rows
+    ones = np.empty((ndocs, 64), dtype=np.int64)
+    for bit in range(64):
+        ones[:, bit] = np.add.reduceat(bits_t[bit], offsets, dtype=np.int32)
+    simbits = (ones * 2 > counts[:, None]).astype(np.uint64)
+    sim = np.zeros(ndocs, dtype=np.uint64)
+    for bit in range(64):
+        sim |= simbits[:, bit] << np.uint64(bit)
+    simhashes = sim.view(np.int64)
 
-        # MinHash: one reduceat per permutation over the whole batch.
-        sig = np.empty((len(all_shingles), cfg.num_perm), dtype=np.int64)
-        for j in range(cfg.num_perm):
-            v = (a[j] * flat31 + b[j]) % np.uint64(_MERSENNE31)
-            sig[:, j] = np.minimum.reduceat(v, offsets).astype(np.int64)
-
-        # SimHash: ±1 per bit of each 64-bit shingle hash, summed per doc.
-        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        contrib = bits.astype(np.int32) * 2 - 1
-        sums = np.add.reduceat(contrib, offsets, axis=0)
-        simbits = (sums > 0).astype(np.uint64)
-        sim = np.zeros(len(all_shingles), dtype=np.uint64)
-        for bit in range(64):
-            sim |= simbits[:, bit] << np.uint64(bit)
-        simhashes = sim.view(np.int64).tolist()
-
-        for i, sh in enumerate(all_shingles):
-            minhashes.append(sig[i].tolist())
-            s = min(cfg.containment_probe_shingles, len(sh))
-            probes.append(np.sort(sh)[:s].view(np.int64).tolist())
+    signed = flat.view(np.int64)
+    s = cfg.containment_probe_shingles
+    for i in range(ndocs):
+        minhashes[i] = sig[i]
+        seg = signed[offsets[i]:offsets[i] + counts[i]]
+        probes[i] = seg[:min(s, len(seg))]  # segment already sorted unsigned
 
     return pd.DataFrame({
         "n_tokens": pd.Series(n_tokens, dtype="int32"),
-        "n_shingles": pd.Series(n_shingles, dtype="int32"),
+        "n_shingles": pd.Series(counts, dtype="int32"),
         "minhash": minhashes,
         "simhash": pd.Series(simhashes, dtype="int64"),
         "probes": probes,
     })
 
 
-def add_signatures(df: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Attach (n_tokens, n_shingles, minhash, simhash, probes) columns."""
+def add_signatures(df: DataFrame, cfg: DedupConfig, repartition: int | None = None) -> DataFrame:
+    """Attach (n_tokens, n_shingles, minhash, simhash, probes).
+
+    Repartitions before the UDF: upstream AQE tends to coalesce the small
+    (uid, content) projection into a handful of partitions, which would
+    serialize the CPU-heavy signature computation onto a few cores. Explicit
+    fan-out to cluster parallelism is the right call at every scale — this
+    stage is compute-bound, not shuffle-bound.
+    """
+    if repartition is None:
+        repartition = df.sparkSession.sparkContext.defaultParallelism * 2
+    df = df.repartition(repartition)
 
     @F.pandas_udf(SIGNATURE_STRUCT)
     def _sig(texts: pd.Series) -> pd.DataFrame:
@@ -125,12 +138,17 @@ def add_signatures(df: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def explode_shingles_udf(cfg: DedupConfig):
     """pandas_udf: content -> array of distinct 64-bit shingle hashes (as
-    signed longs). Used only by the containment inverted index."""
+    signed longs). Used only by the containment inverted index — derived
+    map-side, flows straight into the postings join, never cached."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sh(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda t: shingle_hashes(t or "", cfg.shingle_k).view(np.int64).tolist()
+        flat, offsets, counts, _ = batch_shingle_segments(
+            texts.tolist(), cfg.shingle_k
+        )
+        signed = flat.view(np.int64)
+        return pd.Series(
+            [signed[offsets[i]:offsets[i] + counts[i]] for i in range(len(counts))]
         )
 
     return _sh

@@ -19,6 +19,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _truncate(df: DataFrame) -> DataFrame:
+    """Cut lineage between iterations. Uses reliable (disk) checkpointing
+    when the SparkContext has a checkpoint dir — localCheckpoint blocks live
+    on executors and die with them, which is exactly the failure mode an
+    iterative job must survive on a real cluster. Falls back to
+    localCheckpoint for quick local runs."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().checkpointDir().isDefined():
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 20
 ) -> DataFrame:
@@ -32,40 +44,35 @@ def connected_components(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    adj = _truncate(adj)
+    labels = _truncate(
         adj.select(F.col("src").alias("uid"))
         .distinct()
         .withColumn("cluster_id", F.col("uid"))
-        .localCheckpoint()
     )
 
     for _ in range(max_iterations):
-        # min label over each node's neighborhood
+        # min label over each node's neighborhood; old + new computed in one
+        # pass so the convergence probe reads the checkpointed result only
         neighbor_min = (
             adj.join(labels, adj["dst"] == labels["uid"], "inner")
             .groupBy("src")
             .agg(F.min("cluster_id").alias("_nmin"))
         )
-        new_labels = (
+        merged = (
             labels.join(neighbor_min, labels["uid"] == neighbor_min["src"], "left")
             .select(
                 "uid",
+                F.col("cluster_id").alias("_old"),
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "uid")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        merged = _truncate(merged)
+        changed = merged.filter(F.col("cluster_id") != F.col("_old")).limit(1).count()
+        labels = merged.select("uid", "cluster_id")
         if changed == 0:
             break
     return labels

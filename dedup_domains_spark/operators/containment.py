@@ -35,12 +35,23 @@ from dedup_domains_spark.functions.signatures import explode_shingles_udf
 
 
 def containment_candidates(
-    df: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid"
+    df: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Candidate (containee, container) pairs: every probe of the containee
     appears in the container's shingle set and the container is larger.
 
-    df must carry (uid, content); sig_df carries (uid, n_shingles, probes).
+    df carries (uid, content); sig_df carries (uid, n_tokens, n_shingles,
+    probes). Postings are derived map-side from content (explode UDF) and
+    flow straight into the join — never materialized, never cached (caching
+    the full shingle mass costs more in heap pressure than one extra
+    tokenize pass, see signatures.py).
+
+    Join shape: postings (corpus shingle mass, the huge side) stay where they
+    are; the probe table (docs x s rows of 16 bytes) broadcasts, so the big
+    side is never shuffled. With ``broadcast_probes=False`` (probe side too
+    large to broadcast, e.g. >10^8 docs) it degrades to a shuffle join that
+    AQE skew-splits.
     """
     probes = (
         sig_df.filter(F.col("n_tokens") >= cfg.min_containee_tokens)
@@ -52,25 +63,25 @@ def containment_candidates(
         )
     )
 
-    postings = (
-        df.select(
-            F.col(id_col).alias("big_id"),
-            F.explode(explode_shingles_udf(cfg)(F.col("content"))).alias("shingle"),
-        )
+    postings = df.select(
+        F.col(id_col).alias("big_id"),
+        F.explode(explode_shingles_udf(cfg)(F.col("content"))).alias("shingle"),
     )
-    # document-frequency cap BEFORE the join: boilerplate shingles out
-    rare = (
+    # document-frequency cap: the FREQUENT set is tiny (boilerplate shingles)
+    # — broadcast anti-join instead of re-shuffling the postings
+    frequent = (
         postings.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= cfg.containment_max_doc_freq)
+        .filter(F.col("_df") > cfg.containment_max_doc_freq)
         .select("shingle")
     )
-    postings = postings.join(rare, "shingle", "leftsemi")
+    postings = postings.join(F.broadcast(frequent), "shingle", "leftanti")
 
     sizes = sig_df.select(F.col(id_col).alias("big_id"), F.col("n_shingles").alias("big_sh"))
 
+    probe_side = F.broadcast(probes) if broadcast_probes else probes
     hits = (
-        probes.join(postings, "shingle")
+        postings.join(probe_side, "shingle")
         .filter(F.col("small_id") != F.col("big_id"))
         .groupBy("small_id", "big_id", "n_probes", "small_sh")
         .agg(F.count(F.lit(1)).alias("_hits"))
