@@ -1,0 +1,147 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / resize / frame-sample implemented
+as Arrow-batched ``mapInPandas`` transforms.
+
+The decode step itself is STUBBED: the image/audio codec libraries are not
+in this container, so each decoder either raises ``NotImplementedError``
+(strict mode) or produces a deterministic fake derived from the bytes
+(default — keeps the Spark-side plumbing fully testable: schema, batch
+shape, partitioning). The scale-relevant parts ARE real: binary columns flow
+through Arrow untouched, transforms are per-batch vectorized, and the
+metadata struct rides alongside for partition pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, StringType,
+    StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("kind", StringType(), False),       # image | audio | video
+    StructField("mime", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),
+    StructField("data", BinaryType(), False),
+])
+
+
+def _fake_pixels(data: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: pixels derived from a
+    sha256 keystream over the payload. Replace with PIL/libvips in prod."""
+    seed = hashlib.sha256(data).digest()
+    rng = np.random.default_rng(int.from_bytes(seed[:8], "big"))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def decode_image(data: bytes, strict: bool = False) -> np.ndarray:
+    """STUB — container has no image codecs. strict=True raises (prod
+    behavior when codecs are genuinely required); default returns the
+    deterministic fake so pipeline plumbing stays testable."""
+    if strict:
+        raise NotImplementedError(
+            "image codecs (PIL/libvips) are not available in this container"
+        )
+    return _fake_pixels(data, 32, 32)
+
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("phash", StringType()),
+    StructField("mean_rgb", ArrayType(FloatType())),
+    StructField("thumb", BinaryType()),
+])
+
+
+def image_features(df: DataFrame, thumb_size: int = 8) -> DataFrame:
+    """Decode → perceptual-hash → mean color → thumbnail, one Arrow pass.
+
+    The pHash here is a real average-hash over the (stubbed) decode output:
+    downscale to 8x8 grayscale, threshold at the mean, 64-bit hex. At scale:
+    binary payloads never shuffle (mapInPandas is a map), and downstream
+    dedup joins run on the 16-byte phash, not the media bytes.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = decode_image(r.data)
+                # average-hash: downscale by block mean, threshold
+                g = px.mean(axis=2)
+                bh, bw = g.shape[0] // 8, g.shape[1] // 8
+                small = g[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+                bits = (small > small.mean()).ravel()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                thumb = px[::max(px.shape[0] // thumb_size, 1),
+                           ::max(px.shape[1] // thumb_size, 1)]
+                out.append((
+                    r.media_id,
+                    f"{val:016x}",
+                    px.reshape(-1, 3).mean(axis=0).astype(np.float32).tolist(),
+                    thumb.tobytes(),
+                ))
+            yield pd.DataFrame(
+                out, columns=["media_id", "phash", "mean_rgb", "thumb"]
+            )
+
+    return df.mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video payloads (decode stubbed). One row per
+    sampled frame — a generator-shaped mapInPandas, so a 2-hour video fans
+    out to rows without ever collecting on the driver."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n = max(int((r.duration_ms or 0) / every_ms), 1)
+                for i in range(n):
+                    seed = hashlib.sha256(
+                        r.data + i.to_bytes(4, "big")
+                    ).digest()
+                    rows.append((r.media_id, i, seed))  # stub frame bytes
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return df.filter(F.col("kind") == "video").mapInPandas(
+        fn, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+def phash_dedup_pairs(features: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-dup image pairs by perceptual-hash Hamming distance — reuses the
+    SimHash pigeonhole machinery on the 64-bit phash."""
+    from dedup_domains_spark.config import DedupConfig
+    from dedup_domains_spark.operators.simhash_buckets import simhash_candidate_pairs
+
+    cfg = DedupConfig(simhash_hamming_max=max_hamming)
+    # 64-bit hex -> signed long via two 32-bit halves (a single conv() would
+    # overflow LongType for hashes above 2^63)
+    hi = F.conv(F.substring("phash", 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring("phash", 9, 8), 16, 10).cast("long")
+    sig = features.select(
+        F.col("media_id").alias("uid"),
+        F.shiftleft(hi, 32).bitwiseOR(lo).alias("simhash"),
+    )
+    return simhash_candidate_pairs(sig, cfg, id_col="uid")

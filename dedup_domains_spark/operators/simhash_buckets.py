@@ -25,7 +25,7 @@ def simhash_block_table(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid"
     for i in range(nblocks):
         lo = i * width
         w = width if i < nblocks - 1 else 64 - lo  # last block takes remainder
-        mask = (1 << w) - 1
+        mask = ((1 << w) - 1) if w < 64 else -1    # -1 = all 64 bits set
         blocks.append(
             F.struct(
                 F.lit(i).alias("block"),

