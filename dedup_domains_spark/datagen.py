@@ -94,7 +94,7 @@ def gen_code_corpus(n_rows: int, seed: int = 42, avg_tokens: int = 160) -> CodeC
       j 19    near dup of j=6
     """
     rows, expected, pairs = [], [], []
-    zipf_repos = max(4, int(np.sqrt(n_rows)))
+    zipf_repos = 997  # fixed pool so generation is prefix-stable in n_rows
 
     for i in range(n_rows):
         b, j = divmod(i, BLOCK)

@@ -1,0 +1,99 @@
+"""Physical-plan audits — the 100 TB guardrails (SURVEY.md §4).
+
+These tests read `.explain("formatted")` output and pin the properties that
+matter at scale: filters reach the parquet scan (PushedFilters), projections
+prune columns (ReadSchema), small dims broadcast, and the signature stage
+keeps its explicit repartition (AQE must not serialize it).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .select("l_returnflag", "l_quantity")
+    )
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_column_pruning_in_read_schema(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    plan = _formatted(df)
+    # scan must read exactly the projected column, not all 11
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan, plan
+
+
+def test_dim_join_broadcasts(spark):
+    from dedup_domains_spark.plans.queries import QUERIES
+
+    df = QUERIES["nation_revenue_join"].spark_fn(spark, SF)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_signature_stage_repartitions(spark):
+    from dedup_domains_spark.config import DedupConfig
+    from dedup_domains_spark.functions.signatures import add_signatures
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("uid"), F.col("text").alias("content")
+    )
+    sig = add_signatures(df, DedupConfig())
+    plan = _formatted(sig)
+    # explicit fan-out Exchange feeding the Arrow UDF
+    assert "ArrowEvalPython" in plan, plan
+    assert "RoundRobinPartitioning" in plan, plan
+
+
+def test_containment_probe_side_broadcasts(spark):
+    from dedup_domains_spark.config import DedupConfig
+    from dedup_domains_spark.functions.signatures import add_signatures
+    from dedup_domains_spark.operators.containment import containment_candidates
+    from dedup_domains_spark.sources.code_corpus import with_row_identity
+
+    cfg = DedupConfig()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5("text").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    df = with_row_identity(docs)
+    sig = add_signatures(df.select("uid", "content"), cfg)
+    cand = containment_candidates(df, sig, cfg)
+    plan = _formatted(cand)
+    # probes broadcast; postings (the huge side) must not appear under an
+    # Exchange hashpartitioning on 'shingle'
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from dedup_domains_spark.operators.exact_dedup import exact_dedup
+    from dedup_domains_spark.sources.code_corpus import with_row_identity
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5("text").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    res = exact_dedup(with_row_identity(docs))
+    plan = _formatted(res.cluster_map)
+    # the window election shuffles on content_sha256 exactly once
+    assert plan.count("Exchange hashpartitioning(content_sha256") <= 2, plan
