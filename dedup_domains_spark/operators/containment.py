@@ -63,7 +63,11 @@ def containment_candidates(
         )
     )
 
-    postings = df.select(
+    # explicit fan-out before the tokenizing UDF — same rationale as
+    # signatures.add_signatures: AQE would coalesce the small projection and
+    # serialize the compute-bound stage onto a few cores
+    fanout = df.sparkSession.sparkContext.defaultParallelism * 2
+    postings = df.select(id_col, "content").repartition(fanout).select(
         F.col(id_col).alias("big_id"),
         F.explode(explode_shingles_udf(cfg)(F.col("content"))).alias("shingle"),
     )
