@@ -788,3 +788,126 @@ def ann_lsh_topk_q(spark, sf_dir):
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     return V.ann_topk_lsh(e.filter("vec_id < 10"), e, dim=64, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Set ops / grouping sets / scalar breadth (beyond the reference, §2.2)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "customers_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    "set ops: EXCEPT (beyond reference)",
+)
+def customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+@_q(
+    "lineitem_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "agg: grouping sets / rollup (beyond reference)",
+)
+def lineitem_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "scalar_functions",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)                         AS order_year,
+           month(o_orderdate)                        AS order_month,
+           round(sqrt(o_totalprice), 4)              AS sqrt_price,
+           round(ln(o_totalprice + 1), 4)            AS ln_price,
+           upper(substring(o_orderpriority, 1, 3))   AS prio3,
+           length(o_orderstatus)                     AS status_len,
+           abs(o_custkey - 1000)                     AS key_dist
+    FROM orders
+    """,
+    "scalar fns: date/math/string (beyond reference)",
+)
+def scalar_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("o_totalprice") + 1), 4).alias("ln_price"),
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.abs(F.col("o_custkey") - 1000).alias("key_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale-path containment + multimodal plumbing (rows-only checks)
+# ---------------------------------------------------------------------------
+
+@_q("containment_probe_pairs", None,
+    "D2: probe inverted-index containment (scale path, rows-only)")
+def containment_probe_pairs(spark, sf_dir):
+    from dedup_domains_spark.functions.signatures import add_signatures
+    from dedup_domains_spark.operators.containment import contained_pairs
+    from dedup_domains_spark.sources.code_corpus import with_row_identity
+
+    cfg = DedupConfig(min_containee_tokens=8)
+    df = with_row_identity(_docs_as_corpus(spark, sf_dir))
+    sig = add_signatures(df.select("uid", "content"), cfg)
+    return contained_pairs(df, sig, cfg)
+
+
+@_q("image_phash_features", None, "multimodal: decode→phash plumbing (rows-only)")
+def image_phash_features(spark, sf_dir):
+    from dedup_domains_spark.functions.multimodal import image_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        F.lit(64).alias("width"), F.lit(64).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+    )
+    return image_features(media).select("media_id", "phash")
+
+
+@_q("ann_hyperplane_recall", None,
+    "similarity search: ANN vs brute force recall (rows-only)")
+def ann_hyperplane_recall(spark, sf_dir):
+    """Per-query recall of the LSH ANN against exact top-k."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    q = e.filter("vec_id < 10")
+    exact = V.brute_force_topk(q, e, k=5).select(
+        "query_id", F.col("neighbor_id").alias("exact_n")
+    )
+    approx = V.ann_topk_lsh(q, e, dim=64, k=5, n_tables=6).select(
+        "query_id", F.col("neighbor_id").alias("ann_n")
+    )
+    hits = exact.join(
+        approx, (exact["query_id"] == approx["query_id"])
+        & (exact["exact_n"] == approx["ann_n"]), "leftsemi"
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg((F.count(F.lit(1)) / 5.0).alias("recall_at_5"))
+    )
