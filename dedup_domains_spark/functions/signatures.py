@@ -65,7 +65,18 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     return sh[offsets[0]:offsets[0] + counts[0]]
 
 
+_EMPTY_SIG = pd.DataFrame({
+    "n_tokens": pd.Series([], dtype="int32"),
+    "n_shingles": pd.Series([], dtype="int32"),
+    "minhash": pd.Series([], dtype=object),
+    "simhash": pd.Series([], dtype="int64"),
+    "probes": pd.Series([], dtype=object),
+})
+
+
 def _batch_signatures(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
+    if len(texts) == 0:  # empty Arrow batch (e.g. empty partition)
+        return _EMPTY_SIG.copy()
     a, b = _perm_params(cfg)
     flat, offsets, counts, n_tokens = batch_shingle_segments(
         texts.tolist(), cfg.shingle_k

@@ -105,8 +105,11 @@ def batch_shingle_segments(
     shingle (polynomial over all their tokens; empty doc -> splitmix(0)),
     so exact duplicates always co-bucket.
     """
-    th, doc_of = batch_token_hashes(texts)
     ndocs = len(texts)
+    if ndocs == 0:
+        e64, ei = np.empty(0, np.uint64), np.empty(0, np.int64)
+        return e64, ei, ei.copy(), ei.copy()
+    th, doc_of = batch_token_hashes(texts)
     n_tokens = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
 
     T = len(th)
