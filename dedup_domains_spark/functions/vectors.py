@@ -90,7 +90,6 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: union of per-table hyperplane-bucket joins, then
     exact cosine rank within candidates. Scale path for ANN search."""
-    from functools import reduce
     from pyspark.sql import Window
 
     cand = None

@@ -8,7 +8,6 @@ and skew is handled by the shared salted-star machinery in buckets.py.
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -27,7 +27,7 @@ from pyspark.sql.types import (
 )
 
 from dedup_domains_spark.config import DedupConfig
-from dedup_domains_spark.functions.signatures import add_signatures
+
 
 
 def stream_exact_dedup(
