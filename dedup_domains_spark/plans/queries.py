@@ -911,3 +911,28 @@ def ann_hyperplane_recall(spark, sf_dir):
         hits.groupBy("query_id")
         .agg((F.count(F.lit(1)) / 5.0).alias("recall_at_5"))
     )
+
+
+@_q(
+    "embedding_near_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """,
+    "dedup: embedding-cosine near-dup",
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    cos = V.cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.9)
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+    )
