@@ -36,7 +36,10 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
-    "containment_pairs",
+    # the probe inverted-index path is the operator we ship; the cartesian
+    # containment_pairs variant exists only as its brute-force oracle twin
+    # (VERDICT r01 item 4) and is deliberately not benched.
+    "containment_probe_pairs",
     "connected_components_ngram",
     "tpch_pricing_summary",
     "nation_revenue_join",

@@ -16,7 +16,7 @@ from dataclasses import asdict, dataclass
 class DedupConfig:
     """Immutable config for the near-dup pipeline.
 
-    The LSH geometry defaults (num_perm=128, bands=16, rows_per_band=8) put
+    The LSH geometry defaults (num_perm=128, bands=32, rows_per_band=4) put
     the S-curve threshold at (1/b)^(1/r) ~= 0.42 Jaccard (recall-first; the verify stage prunes), for the
     "1-5% token edits" near-duplicate class (FIXTURES.md §2).
     """

@@ -83,6 +83,42 @@ def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
     return _bucket
 
 
+def bucketed_near_dup_pairs(
+    vectors: DataFrame, dim: int, threshold: float = 0.9,
+    n_planes: int = 8, n_tables: int = 2, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs via hyperplane-bucket blocking — the
+    scale path for embedding-cosine dedup (replaces the O(n²) crossJoin the
+    brute-force twin uses). Candidates = pairs sharing a bucket in ANY of
+    the n_tables independent hyperplane tables; exact cosine is computed
+    only within buckets. Output: (id_a, id_b, cos_sim), id_a < id_b.
+
+    Scale shape: the self-join key is (table, bucket) — a shuffle on a
+    bounded-cardinality key, never a cartesian. Collinear vectors (cos = 1)
+    share every bucket deterministically; recall for looser pairs rises
+    with n_tables / falls with n_planes (standard LSH trade-off).
+    """
+    cand = None
+    for t in range(n_tables):
+        bu = hyperplane_bucket_udf(dim, n_planes, seed + t)
+        side = vectors.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+            bu(F.col(vec_col)).alias("_bkt"),
+        )
+        a = side.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bkt")
+        b = side.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bkt")
+        j = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
+        cand = j if cand is None else cand.unionByName(j)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        cand.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("_cos"), 4).alias("cos_sim"))
+    )
+
+
 def ann_topk_lsh(
     queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     n_planes: int = 10, n_tables: int = 4, seed: int = 42,

@@ -82,6 +82,17 @@ def test_containment_probe_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_embedding_near_dup_no_cartesian(spark):
+    """The bucketed embedding near-dup path must never degrade to an O(n²)
+    cartesian/nested-loop join (VERDICT r01 item 2)."""
+    from dedup_domains_spark.plans.queries import QUERIES
+
+    df = QUERIES["embedding_near_dup_pairs"].spark_fn(spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_exact_dedup_single_shuffle(spark):
     from dedup_domains_spark.operators.exact_dedup import exact_dedup
     from dedup_domains_spark.sources.code_corpus import with_row_identity
