@@ -46,9 +46,24 @@ def main(argv: list[str] | None = None) -> int:
     _add_spark_args(pc)
 
     pd_ = sub.add_parser("dnsbl", help="reference-parity domain mode")
-    pd_.add_argument("--inputs", nargs="+", required=True)
-    pd_.add_argument("--output", required=True)
+    pd_.add_argument("--inputs", nargs="+",
+                     help="explicit feed files (CLI order = first-wins order)")
+    pd_.add_argument("--dir", dest="directory",
+                     help="directory mode: process *<in-ext> files in sorted "
+                          "order (reference pfb_dnsbl_prune.py:329-351 / "
+                          "inputargs.c -d)")
+    pd_.add_argument("--in-ext", default=".fat")
+    pd_.add_argument("--out-ext", default=".pruned")
+    pd_.add_argument("--output",
+                     help="output directory (directory mode defaults to the "
+                          "input directory, like the reference)")
     pd_.add_argument("--prune-regex", action="store_true")
+    pd_.add_argument("--method", choices=["c", "pointer", "standard"],
+                     default="c",
+                     help="output ordering: 'c' = regex rows inline (the C "
+                          "binary, pfb_prune.c:639-659); 'pointer'/'standard'"
+                          " = the Python tool's regex-first orders "
+                          "(pfb_dnsbl_prune.py:300-327)")
     _add_spark_args(pd_)
 
     args = ap.parse_args(argv)
@@ -81,29 +96,51 @@ def main(argv: list[str] | None = None) -> int:
         manifest = write_results(res, args.output, config_hash=cfg.config_hash())
         print(json.dumps(manifest))
     else:
+        import glob
+        import os
+
         from dedup_domains_spark.operators.domain_mode import (
-            dedup_dnsbl, write_survivor_files,
+            dedup_dnsbl, python_flow_survivors,
         )
         from dedup_domains_spark.operators.regex_kill import (
             collect_patterns, regex_kill,
         )
         from dedup_domains_spark.sources.dnsbl import load_dnsbl_files
 
-        df = load_dnsbl_files(spark, args.inputs)
+        if args.directory:
+            inputs = sorted(glob.glob(os.path.join(args.directory, "*" + args.in_ext)))
+            out_dir = args.output or args.directory
+        else:
+            if not args.inputs:
+                ap.error("dnsbl requires --inputs or --dir")
+            inputs = args.inputs
+            if not args.output:
+                ap.error("--output is required with --inputs")
+            out_dir = args.output
+
+        df = load_dnsbl_files(spark, inputs)
         res = dedup_dnsbl(df)
-        survivors = res.survivors
         if args.prune_regex:
-            survivors = regex_kill(survivors, collect_patterns(df))
-            res.survivors = survivors
-        files = write_survivor_files(res, args.output)
-        import os
-        os.makedirs(args.output, exist_ok=True)
-        for src, lines in files.items():
-            name = os.path.basename(src)
-            with open(os.path.join(args.output, name + ".pruned"), "w") as f:
-                f.write("".join(l + "\n" for l in lines))
-        print(json.dumps({"files": len(files),
-                          "survivors": sum(len(v) for v in files.values())}))
+            res.survivors = regex_kill(res.survivors, collect_patterns(df))
+        if args.method == "c":
+            ordered = res.survivors.orderBy("file_order", "linenumber")
+        else:
+            ordered = python_flow_survivors(res, df, method=args.method)
+
+        # fixture-scale local write; the distributed path is
+        # sinks.write_survivors_text (partitionBy text, no driver collect)
+        by_file: dict[str, list[str]] = {p: [] for p in inputs}
+        for r in ordered.select("source_file", "raw_line").collect():
+            by_file.setdefault(r.source_file, []).append(r.raw_line)
+        os.makedirs(out_dir, exist_ok=True)
+        for src, lines_ in by_file.items():
+            # reference naming: replace the final extension
+            # (pfb_prune.c outputfilename / pfb_dnsbl_prune.py:331-333)
+            base = os.path.splitext(os.path.basename(src))[0]
+            with open(os.path.join(out_dir, base + args.out_ext), "w") as f:
+                f.write("".join(l + "\n" for l in lines_))
+        print(json.dumps({"files": len(by_file),
+                          "survivors": sum(len(v) for v in by_file.values())}))
     return 0
 
 

@@ -118,6 +118,152 @@ def dedup_dnsbl(df: DataFrame) -> DomainModeResult:
     return DomainModeResult(survivors=survivors, dropped=dropped, metrics=metrics)
 
 
+def _seq():
+    """Global insertion sequence: files in CLI/sorted order, lines in file
+    order — the total order that replaces the reference's sequential
+    first-wins (SURVEY.md §4 item 4)."""
+    return F.col("file_order").cast("long") * F.lit(1 << 40) + F.col("linenumber")
+
+
+def _prefix_keys(rev_col, lo, hi):
+    """Reversed-label path prefixes [lo..hi] as dotted keys: for
+    rev=[com,a,b] and lo=1,hi=3 → [com, com.a, com.a.b] (bounded fan-out,
+    avg label depth ~4)."""
+    return F.transform(
+        F.sequence(lo, hi), lambda i: F.array_join(F.slice(rev_col, 1, i), ".")
+    )
+
+
+def standard_visit_keys(df: DataFrame) -> DataFrame:
+    """Per-row DFS pre-order key replicating the reference Python tool's
+    tree-visit output order (pfb_dnsbl_prune.py:152-156 visit_leaves: children
+    in dict-insertion order, payload before descent; writer at :300-308).
+
+    A node's position among its siblings is its CREATION time — the first
+    insertion sequence that touched it while unblocked. A descent is blocked
+    at the first prefix that already held an established childless-FULL leaf
+    (pfb_dnsbl_prune.py:169-173), so creation times require the temporal
+    FULL-establishment table, computed by label-depth induction (a prefix is
+    strictly shorter, so depth order is a valid topological order):
+
+      t_full(key) = min seq over FULL rows at key with no strict prefix q
+                    where t_full(q) < seq
+
+    Then each row contributes its seq to every prefix at depth ≤ its first
+    blocking depth, and ct(node) = min contribution. The visit key of a row
+    is the array of ct over its path prefixes — array lexicographic order ==
+    DFS pre-order (a parent's key is a strict prefix of its descendants').
+
+    All of it is joins/windows over the (prefix-key, seq) explode — the same
+    bounded fan-out shape as the D2 ancestor anti-join; no driver state
+    beyond a ≤max-label-depth loop. Returns (file_order, linenumber,
+    visit_key array<long>) for every valid dedupable row.
+    """
+    rows = (
+        df.filter((F.col("valid") == "ok") & (F.col("match_strength") < 2))
+        .select(
+            "file_order", "linenumber", "match_strength",
+            _seq().alias("_s"),
+            F.reverse(F.split("domain", r"\.")).alias("_rev"),
+        )
+        .withColumn("_n", F.size("_rev"))
+        .cache()
+    )
+
+    # --- t_full by depth induction ---
+    full_rows = rows.filter(F.col("match_strength") == 1).select(
+        "_s", "_rev", "_n", F.array_join("_rev", ".").alias("_key")
+    ).cache()
+    max_depth_row = full_rows.agg(F.max("_n")).first()[0]
+    max_depth = int(max_depth_row or 0)
+    spark = df.sparkSession
+    tf = spark.createDataFrame([], "_tkey string, _t long")
+    for d in range(1, max_depth + 1):
+        cand = full_rows.filter(F.col("_n") == d)
+        if d > 1:
+            cand_pref = cand.select(
+                "_s", "_key",
+                F.explode(_prefix_keys(F.col("_rev"), F.lit(1), F.lit(d - 1))).alias("_tkey"),
+            )
+            blocked = (
+                cand_pref.join(tf, "_tkey")
+                .filter(F.col("_t") < F.col("_s"))
+                .select("_s", "_key").distinct()
+            )
+            cand = cand.join(blocked, ["_s", "_key"], "leftanti")
+        new_tf = cand.groupBy(F.col("_key").alias("_tkey")).agg(F.min("_s").alias("_t"))
+        tf = tf.unionByName(new_tf).localCheckpoint(eager=False)
+
+    # --- first blocking depth per row → effective touch depth ---
+    row_pref = rows.select(
+        "_s", "_n",
+        F.posexplode(_prefix_keys(F.col("_rev"), F.lit(1), F.col("_n"))).alias("_d0", "_tkey"),
+    ).withColumn("_d", F.col("_d0") + 1)
+    dblk = (
+        row_pref.join(tf, "_tkey")
+        .filter(F.col("_t") < F.col("_s"))
+        .groupBy("_s").agg(F.min("_d").alias("_dblk"))
+    )
+    contrib = (
+        rows.join(dblk, "_s", "left")
+        .withColumn("_deff", F.coalesce("_dblk", "_n"))
+        .select(
+            "_s",
+            F.explode(_prefix_keys(F.col("_rev"), F.lit(1), F.col("_deff"))).alias("_ckey"),
+        )
+    )
+    ct = contrib.groupBy("_ckey").agg(F.min("_s").alias("_ct"))
+
+    # --- visit key = [ct(prefix_1) .. ct(prefix_n)] per row ---
+    surv_pref = rows.select(
+        "file_order", "linenumber",
+        F.posexplode(_prefix_keys(F.col("_rev"), F.lit(1), F.col("_n"))).alias("_d0", "_ckey"),
+    )
+    return (
+        surv_pref.join(ct, "_ckey")
+        .groupBy("file_order", "linenumber")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_d0", "_ct"))),
+                lambda x: x["_ct"],
+            ).alias("visit_key")
+        )
+    )
+
+
+def python_flow_survivors(
+    result: DomainModeResult, df: DataFrame, method: str = "pointer"
+) -> DataFrame:
+    """Survivors ordered as the reference PYTHON tool writes them (vs the C
+    binary's inline order that dedup_dnsbl/write_survivor_files replays):
+    regex carry-over rows first — written during the read pass,
+    pfb_dnsbl_prune.py:227-230,281-283 — then the deduped survivors, by
+    original row index for --method pointer (:310-327) or by tree-visit
+    order for --method standard (:300-308). Returns the survivor rows with
+    ordering columns (_regex_first, _okey) applied."""
+    surv = result.survivors
+    regex = surv.filter(F.col("match_strength") == 2)
+    rest = surv.filter(F.col("match_strength") != 2)
+    if method == "pointer":
+        ordered = (
+            regex.withColumn("_r", F.lit(0)).unionByName(rest.withColumn("_r", F.lit(1)))
+            .withColumn("_okey", F.array(_seq()))
+        )
+    elif method == "standard":
+        keys = standard_visit_keys(df)
+        rest = rest.join(keys, ["file_order", "linenumber"])
+        ordered = (
+            regex.withColumn("_r", F.lit(0)).withColumn("_okey", F.array(_seq()))
+            .unionByName(
+                rest.withColumn("_r", F.lit(1)).withColumnRenamed("visit_key", "_okey")
+                .select(*regex.columns, "_r", "_okey")
+            )
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return ordered.orderBy("source_file", "_r", "_okey").drop("_r", "_okey")
+
+
 def write_survivor_files(result: DomainModeResult, out_dir: str) -> dict[str, list[str]]:
     """Materialize per-source-file survivor line lists (the reference's O2
     merge-skip sink, pfb_prune.c:666-728: output = surviving raw lines,

@@ -18,6 +18,28 @@ from pyspark.sql import functions as F
 from dedup_domains_spark.plans.pipeline import PipelineResult
 
 
+def write_survivors_text(survivors, out_dir: str) -> None:
+    """Distributed O2 sink for domain mode: one ordered text file per source
+    feed (reference pfb_prune.c:666-728 writes per-file survivors in line
+    order; here each source is written by exactly one task).
+
+    ``repartition(source)`` puts every key in exactly one task;
+    ``sortWithinPartitions`` restores line order; ``partitionBy`` then emits
+    a single part file per source directory. No driver-side collect — this
+    is the scale path behind the fixture-scale write_survivor_files."""
+    (
+        survivors.select(
+            F.regexp_extract(F.col("source_file"), r"([^/]+)$", 1).alias("source"),
+            "linenumber", "raw_line",
+        )
+        .repartition("source")
+        .sortWithinPartitions("source", "linenumber")
+        .withColumnRenamed("raw_line", "value")
+        .select("source", "value")
+        .write.mode("overwrite").partitionBy("source").text(out_dir)
+    )
+
+
 def write_results(
     result: PipelineResult,
     out_dir: str,

@@ -49,7 +49,59 @@ def test_cli_dnsbl_mode(tmp_path):
         "--output", out,
     ])
     assert rc == 0
-    with open(f"{out}/E2ETestInput_1.txt.pruned") as f:
+    # reference naming: final extension REPLACED (pfb_prune.c outputfilename)
+    with open(f"{out}/E2ETestInput_1.pruned") as f:
+        got = [l for l in f.read().split("\n") if l]
+    with open(f"{ref}/E2ETestInput_1.fulle2e") as f:
+        want = [l for l in f.read().split("\n") if l]
+    assert got == want
+    # empty input still produces an (empty) output file, like the reference
+    assert os.path.exists(f"{out}/E2ETest_Empty.pruned")
+
+
+def test_cli_dnsbl_directory_mode(tmp_path):
+    """--dir processes *<in-ext> files in sorted order and writes
+    <base><out-ext> next to them (reference pfb_dnsbl_prune.py:329-351)."""
+    import shutil
+
+    ref = "/root/reference/tests/unit_pfb_prune"
+    d = tmp_path / "feeds"
+    d.mkdir()
+    shutil.copy(f"{ref}/E2ETestInput_1.txt", d / "a.fat")
+    shutil.copy(f"{ref}/E2ETestInput_1.txt", d / "b.fat")
+
+    from dedup_domains_spark.__main__ import main
+
+    rc = main(["dnsbl", "--dir", str(d)])
+    assert rc == 0
+    with open(d / "a.pruned") as f:
+        got_a = [l for l in f.read().split("\n") if l]
+    with open(f"{ref}/E2ETestInput_1.fulle2e") as f:
+        want = [l for l in f.read().split("\n") if l]
+    assert got_a == want
+    # duplicate file: every line is an exact dup of file a → all collapsed
+    with open(d / "b.pruned") as f:
+        assert [l for l in f.read().split("\n") if l] == []
+
+
+def test_distributed_text_sink(spark, tmp_path):
+    """write_survivors_text: one ordered part file per source, no driver
+    collect (VERDICT r01 item 5 — the O2 scale path)."""
+    import glob
+
+    from dedup_domains_spark.operators.domain_mode import dedup_dnsbl
+    from dedup_domains_spark.sources.dnsbl import load_dnsbl_files
+    from dedup_domains_spark.sources.sinks import write_survivors_text
+
+    ref = "/root/reference/tests/unit_pfb_prune"
+    paths = [f"{ref}/E2ETestInput_1.txt"]
+    res = dedup_dnsbl(load_dnsbl_files(spark, paths))
+    out = str(tmp_path / "textsink")
+    write_survivors_text(res.survivors, out)
+
+    part_files = glob.glob(f"{out}/source=E2ETestInput_1.txt/part-*")
+    assert len(part_files) == 1  # exactly one task wrote this source
+    with open(part_files[0]) as f:
         got = [l for l in f.read().split("\n") if l]
     with open(f"{ref}/E2ETestInput_1.fulle2e") as f:
         want = [l for l in f.read().split("\n") if l]
