@@ -28,7 +28,11 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "60000"))
+# 240k rows: large enough that compute dominates the per-stage barrier
+# latency (at 60k the 32-core run is ~50% fixed latency and the ratio says
+# nothing about throughput scaling)
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "240000"))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
 CORPUS_CACHE = f"/tmp/dedup_bench_corpus_{BENCH_ROWS}.parquet"
 
 HEADLINE = [
@@ -113,14 +117,17 @@ def _scaling_child(parallelism: int, corpus: str, n_workers: int = 0) -> None:
 
     # (a) signature kernel — the stage that is >95% of core-seconds at real
     # scale; its scaling is the honest proxy for cluster scaling in a
-    # latency-bound sandbox (see BENCH.md calibration)
+    # latency-bound sandbox (see BENCH.md calibration). Best-of-3: the first
+    # runs still carry python-worker / page-cache warm-up at this corpus
+    # size, and the shared host adds ±30-45% run-to-run noise.
     ident = with_row_identity(df).select("uid", "content").cache()
     ident.count()
     sig = add_signatures(ident, cfg)
-    sig.select(F.sum("n_tokens")).collect()  # warm workers
-    t0 = time.time()
-    sig.select(F.sum("n_tokens")).collect()
-    kernel_wall = time.time() - t0
+    kernel_wall = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        sig.select(F.sum("n_tokens")).collect()
+        kernel_wall = min(kernel_wall, time.time() - t0)
     ident.unpersist()
 
     # (b) full pipeline
@@ -147,7 +154,7 @@ def _one_scaling_run(par: int, corpus: str, n_workers: int) -> dict:
     return json.loads(line)
 
 
-def run_scaling(corpus: str, rounds: int = 1) -> dict:
+def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS) -> dict:
     """N vs 4N cores on fixed executor JVMs: local-cluster[4,2] (8 cores)
     vs local-cluster[4,8] (32 cores). Alternating best-of-`rounds` to defeat
     shared-host noise. Reports the full pipeline AND the signature kernel

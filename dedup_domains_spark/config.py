@@ -46,6 +46,13 @@ class DedupConfig:
     # --- skew / partitioning ---
     max_bucket_size: int = 64          # LSH bucket cap before salting splits it
     shuffle_partitions: int = 32
+    # AQE off for the pipeline by default: skew is handled EXPLICITLY
+    # (salted stars, capped buckets, broadcast hints), so AQE's only effect
+    # here is a driver re-planning barrier at every exchange — measured 30%
+    # of pipeline wall at sandbox scale (BENCH.md r02). The generic session
+    # keeps AQE on for ad-hoc queries; flip this on if a corpus has skew the
+    # explicit handling doesn't cover.
+    use_aqe: bool = False
 
     # --- clustering ---
     cc_max_iterations: int = 20        # union-find fixpoint guard

@@ -147,10 +147,16 @@ def add_signatures(df: DataFrame, cfg: DedupConfig, repartition: int | None = No
     )
 
 
-def explode_shingles_udf(cfg: DedupConfig):
+def explode_shingles_udf(cfg: DedupConfig, keep_only: np.ndarray | None = None):
     """pandas_udf: content -> array of distinct 64-bit shingle hashes (as
     signed longs). Used only by the containment inverted index — derived
-    map-side, flows straight into the postings join, never cached."""
+    map-side, flows straight into the postings join, never cached.
+
+    keep_only: optional sorted int64 array (the distinct containment-probe
+    shingles); when given, only matching hashes are emitted, shrinking the
+    posting mass executor-side before any shuffle. The array ships in the
+    UDF closure — valid exactly in the broadcast-probes regime where the
+    probe set is driver-sized by definition."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sh(texts: pd.Series) -> pd.Series:
@@ -158,8 +164,20 @@ def explode_shingles_udf(cfg: DedupConfig):
             texts.tolist(), cfg.shingle_k
         )
         signed = flat.view(np.int64)
-        return pd.Series(
-            [signed[offsets[i]:offsets[i] + counts[i]] for i in range(len(counts))]
-        )
+        if keep_only is None:
+            return pd.Series(
+                [signed[offsets[i]:offsets[i] + counts[i]] for i in range(len(counts))]
+            )
+        if len(keep_only) == 0:
+            return pd.Series([signed[:0]] * len(counts))
+        # membership via searchsorted on the sorted filter (whole-batch)
+        pos = np.searchsorted(keep_only, signed)
+        pos[pos >= len(keep_only)] = 0
+        hit = keep_only[pos] == signed
+        out = []
+        for i in range(len(counts)):
+            seg = slice(offsets[i], offsets[i] + counts[i])
+            out.append(signed[seg][hit[seg]])
+        return pd.Series(out)
 
     return _sh

@@ -6,10 +6,13 @@ mega-buckets — FIXTURES.md plants one on purpose), and naive within-bucket
 pair emission is quadratic. Strategy (SURVEY.md §4 item 1, BASELINE.json
 "salted repartitioning on band-hash keys with explicit skew splitting"):
 
-  1. count bucket sizes (one hash-aggregate);
+  1. bucket sizes via a window count over the bucket key (ONE shuffle — the
+     r01 version used a groupBy + self-join, a second full shuffle of the
+     member table for no information gain);
   2. salt members of oversized buckets into ceil(size/cap) subgroups;
   3. within each (bucket, salt) subgroup emit a STAR around the min id —
-     O(size) edges, never O(size^2);
+     O(size) edges, never O(size^2); the subgroup window reuses the bucket
+     hash partitioning (same key prefix), so no extra exchange;
   4. bridge subgroups by a second star over the subgroup hubs around the
      bucket-wide min hub — keeps each bucket one connected component with
      diameter ≤ 4, so min-label propagation converges in a few rounds.
@@ -32,12 +35,10 @@ def pairs_from_buckets(
 ) -> DataFrame:
     """df: one row per (bucket member). Returns candidate edges (id_a, id_b),
     id_a < id_b, distinct."""
-    b = [F.col(c) for c in bucket_cols]
-
-    sizes = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
-    # buckets of one member generate nothing — prune before the join
-    sizes = sizes.filter(F.col("_bsz") >= 2)
-    members = df.join(sizes, bucket_cols, "inner")
+    bw = Window.partitionBy(*bucket_cols)
+    members = df.withColumn("_bsz", F.count(F.lit(1)).over(bw)).filter(
+        F.col("_bsz") >= 2  # buckets of one generate nothing
+    )
 
     # deterministic salt: spreads a mega-bucket over ceil(size/cap) subgroups
     nsplit = F.ceil(F.col("_bsz") / F.lit(max_bucket_size)).cast("int")
@@ -48,19 +49,21 @@ def pairs_from_buckets(
         ),
     )
 
+    # subgroup hub + bucket hub in one pass: the (bucket, salt) window shares
+    # the bucket partitioning, so Catalyst plans both windows on one exchange
     grp = Window.partitionBy(*bucket_cols, "_salt")
-    members = members.withColumn("_hub", F.min(id_col).over(grp))
+    members = members.withColumn("_hub", F.min(id_col).over(grp)).withColumn(
+        "_bucket_hub", F.min(id_col).over(bw)
+    )
     star = (
         members.filter(F.col(id_col) != F.col("_hub"))
         .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
     )
-
     # bridge subgroup hubs: star around the bucket-wide min hub
-    hubs = members.select(*bucket_cols, "_salt", "_hub").distinct()
-    bw = Window.partitionBy(*bucket_cols)
-    hubs = hubs.withColumn("_bucket_hub", F.min("_hub").over(bw))
     bridges = (
-        hubs.filter(F.col("_hub") != F.col("_bucket_hub"))
+        members.filter(
+            (F.col(id_col) == F.col("_hub")) & (F.col("_hub") != F.col("_bucket_hub"))
+        )
         .select(F.col("_bucket_hub").alias("id_a"), F.col("_hub").alias("id_b"))
     )
 

@@ -19,48 +19,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _truncate(df: DataFrame) -> DataFrame:
-    """Cut lineage between iterations. Uses reliable (disk) checkpointing
-    when the SparkContext has a checkpoint dir — localCheckpoint blocks live
-    on executors and die with them, which is exactly the failure mode an
-    iterative job must survive on a real cluster. Falls back to
-    localCheckpoint for quick local runs."""
+def _truncate(df: DataFrame, durable: bool = False) -> DataFrame:
+    """Cut lineage between iterations.
+
+    Default is localCheckpoint: eager, computed ONCE (a reliable checkpoint
+    runs the plan a second time for the write pass — measured ~2x per-round
+    cost in the loop). Its blocks die with an executor, but the pipeline's
+    durability story is the per-STAGE checkpoint tables (plans/checkpoint.py):
+    on executor loss the stage reruns from its input table, not from
+    mid-loop state. Pass durable=True (pipeline does when the caller gives a
+    checkpoint_dir) to use reliable checkpoints inside the loop as well."""
     sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().checkpointDir().isDefined():
+    if durable and sc._jsc.sc().checkpointDir().isDefined():
         return df.checkpoint()
     return df.localCheckpoint()
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 20, stats: dict | None = None,
+    durable: bool = False,
 ) -> DataFrame:
     """edges(id_a, id_b) -> (uid, cluster_id) for every endpoint.
 
     cluster_id is the min uid reachable; isolated nodes are absent (callers
-    union them back as singletons).
+    union them back as singletons). If the fixpoint is NOT reached within
+    max_iterations the function raises — partially-propagated labels are
+    silently wrong clusters (ADVICE r01). ``stats['iterations']`` reports
+    the rounds used (surfaced in pipeline metrics).
     """
     # symmetric adjacency, self-loop so a node keeps its own label in the min
     adj = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-    )
-    adj = _truncate(adj)
+    ).cache()  # static across rounds — cache, don't checkpoint (a reliable
+    # checkpoint computes its input twice: once for the job, once for the
+    # write pass; the loop's LABELS need lineage truncation, adj doesn't)
     labels = _truncate(
         adj.select(F.col("src").alias("uid"))
         .distinct()
         .withColumn("cluster_id", F.col("uid"))
     )
 
+    converged = False
+    iterations = 0
     for it in range(max_iterations):
-        # min label over each node's neighborhood; old + new computed in one
-        # pass so the convergence probe reads the checkpointed result only
+        iterations = it + 1
+        # min label over each node's neighborhood
         neighbor_min = (
             adj.join(labels, adj["dst"] == labels["uid"], "inner")
             .groupBy("src")
             .agg(F.min("cluster_id").alias("_nmin"))
         )
-        merged = (
+        stepped = (
             labels.join(neighbor_min, labels["uid"] == neighbor_min["src"], "left")
             .select(
                 "uid",
@@ -70,15 +81,39 @@ def connected_components(
                 ).alias("cluster_id"),
             )
         )
-        merged = _truncate(merged)
+        # pointer jump: follow the label one hop (labels map node→label and
+        # every label IS a node id, so composing the map halves the residual
+        # chain depth — O(log d) rounds instead of O(d); hub-star edges keep
+        # d small, but the bucket-overlap tail was costing 3-4 extra
+        # driver-synchronized rounds at 60k rows)
+        jmp = stepped.select(
+            F.col("uid").alias("_juid"), F.col("cluster_id").alias("_jcid")
+        )
+        merged = (
+            stepped.join(jmp, stepped["cluster_id"] == jmp["_juid"], "left")
+            .select(
+                "uid", "_old",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_jcid"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        merged = _truncate(merged, durable)
         labels = merged.select("uid", "cluster_id")
-        # candidate edges are hub-stars (buckets.py), so components converge
-        # in a few hops — probe convergence on alternate rounds to halve the
-        # driver-side barrier count
-        if it % 2 == 1 or it == max_iterations - 1:
-            changed = merged.filter(
-                F.col("cluster_id") != F.col("_old")
-            ).limit(1).count()
-            if changed == 0:
-                break
+        changed = merged.filter(
+            F.col("cluster_id") != F.col("_old")
+        ).limit(1).count()
+        if changed == 0:
+            converged = True
+            break
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["converged"] = converged
+    if not converged and iterations == max_iterations:
+        # an inter-bucket chain longer than the budget would yield silently
+        # wrong clusters — fail loudly instead (ADVICE r01)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations; raise cc_max_iterations (labels still changing)"
+        )
     return labels

@@ -26,7 +26,7 @@ from the join key.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
@@ -53,24 +53,45 @@ def containment_candidates(
     large to broadcast, e.g. >10^8 docs) it degrades to a shuffle join that
     AQE skew-splits.
     """
-    probes = (
-        sig_df.filter(F.col("n_tokens") >= cfg.min_containee_tokens)
-        .select(
-            F.col(id_col).alias("small_id"),
-            F.size("probes").alias("n_probes"),
-            F.col("n_shingles").alias("small_sh"),
-            F.explode("probes").alias("shingle"),
-        )
-    )
-
     # explicit fan-out before the tokenizing UDF — same rationale as
     # signatures.add_signatures: AQE would coalesce the small projection and
     # serialize the compute-bound stage onto a few cores
     fanout = df.sparkSession.sparkContext.defaultParallelism * 2
+
+    # In the broadcast-probes regime the distinct probe-shingle set is by
+    # definition driver-sized (it gets broadcast anyway) — push it INTO the
+    # posting explode so executors emit only postings that can ever match a
+    # probe. The corpus shingle mass (~500/doc) shrinks to the probe-hit
+    # subset (~10-30x fewer rows) before it touches a shuffle; DF counts on
+    # the filtered postings are still exact for every surviving shingle,
+    # because a shingle in the probe set keeps ALL its postings. The
+    # shuffle-join path (broadcast_probes=False, >10^8 docs) keeps the full
+    # explode.
+    probe_filter = None
+    if broadcast_probes:
+        import numpy as np
+
+        probe_rows = (
+            sig_df.filter(F.col("n_tokens") >= cfg.min_containee_tokens)
+            .select(F.explode("probes").alias("s")).distinct().toPandas()
+        )
+        probe_filter = np.sort(probe_rows["s"].to_numpy(dtype=np.int64))
+
     postings = df.select(id_col, "content").repartition(fanout).select(
         F.col(id_col).alias("big_id"),
-        F.explode(explode_shingles_udf(cfg)(F.col("content"))).alias("shingle"),
+        F.explode(
+            explode_shingles_udf(cfg, keep_only=probe_filter)(F.col("content"))
+        ).alias("shingle"),
     )
+    # The DF-cap aggregation and the probe join both consume postings; within
+    # one job Spark would run the tokenize UDF twice. Persist to executor
+    # disk for the duration of the stage — (long, long) rows, linear in the
+    # corpus shingle mass, off-heap of the block cache (the heap-pressure
+    # concern in signatures.py applies to MEMORY caching, not local spill).
+    from pyspark.storagelevel import StorageLevel
+
+    postings = postings.persist(StorageLevel.DISK_ONLY)
+
     # document-frequency cap: the FREQUENT set is tiny (boilerplate shingles)
     # — broadcast anti-join instead of re-shuffling the postings
     frequent = (
@@ -80,6 +101,24 @@ def containment_candidates(
         .select("shingle")
     )
     postings = postings.join(F.broadcast(frequent), "shingle", "leftanti")
+
+    # probe symmetry (ADVICE r01): frequent shingles carry no containment
+    # signal on EITHER side. A containee whose bottom-s probes include a
+    # boilerplate shingle could never hit all s postings (they were capped
+    # away) — drop frequent probes too and require a full house on the
+    # SURVIVING probes (floor 1: a doc whose every probe is boilerplate has
+    # no usable signal and is skipped, as before the fix, but now explicitly).
+    probes = (
+        sig_df.filter(F.col("n_tokens") >= cfg.min_containee_tokens)
+        .select(
+            F.col(id_col).alias("small_id"),
+            F.col("n_shingles").alias("small_sh"),
+            F.explode("probes").alias("shingle"),
+        )
+        .join(F.broadcast(frequent), "shingle", "leftanti")
+    )
+    pw = Window.partitionBy("small_id")
+    probes = probes.withColumn("n_probes", F.count(F.lit(1)).over(pw))
 
     sizes = sig_df.select(F.col(id_col).alias("big_id"), F.col("n_shingles").alias("big_sh"))
 

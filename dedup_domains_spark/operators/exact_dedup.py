@@ -26,18 +26,16 @@ class ExactDedupResult:
 def exact_dedup(df: DataFrame) -> ExactDedupResult:
     """df must carry (uid, content_sha256) — see sources.with_row_identity."""
     w = Window.partitionBy("content_sha256").orderBy("repo", "path", "commit")
-    ranked = (
+    # rep_uid via first() over the SAME window — one shuffle total; the r01
+    # version re-joined ranked against the rank-1 rows, a second full
+    # shuffle of the id table for no information gain
+    cluster_map = (
         df.select("uid", "content_sha256", "repo", "path", "commit")
         .withColumn("_rn", F.row_number().over(w))
-    )
-    rep = ranked.filter(F.col("_rn") == 1).select(
-        F.col("content_sha256").alias("rep_sha"), F.col("uid").alias("rep_uid")
-    )
-    cluster_map = (
-        ranked.join(rep, ranked["content_sha256"] == rep["rep_sha"], "inner")
+        .withColumn("rep_uid", F.first("uid").over(w))
         .select(
             "uid", "content_sha256", "rep_uid",
-            (F.col("uid") == F.col("rep_uid")).alias("is_rep"),
+            (F.col("_rn") == 1).alias("is_rep"),
         )
     )
     survivors = df.join(

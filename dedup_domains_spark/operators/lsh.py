@@ -16,8 +16,13 @@ from dedup_domains_spark.config import DedupConfig
 from dedup_domains_spark.operators.buckets import pairs_from_buckets
 
 
-def lsh_band_table(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid") -> DataFrame:
-    """(uid, band, band_hash) — one row per band per doc."""
+def lsh_band_table(
+    sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(uid, band, band_hash) — one row per band per doc. ``extra_cols`` ride
+    along through the explode (e.g. the event-time column in streaming mode,
+    where joining them back would be an unbounded stream-stream join)."""
     bands = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
@@ -28,8 +33,9 @@ def lsh_band_table(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid") -> 
         for i in range(cfg.bands)
     ])
     return (
-        sig_df.select(id_col, F.explode(bands).alias("_b"))
-        .select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
+        sig_df.select(id_col, *extra_cols, F.explode(bands).alias("_b"))
+        .select(id_col, *extra_cols,
+                F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
     )
 
 
@@ -38,4 +44,30 @@ def lsh_candidate_pairs(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid"
     bt = lsh_band_table(sig_df, cfg, id_col)
     return pairs_from_buckets(
         bt, ["band", "band_hash"], id_col=id_col, max_bucket_size=cfg.max_bucket_size
+    )
+
+
+def fused_candidate_pairs(
+    sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid"
+) -> DataFrame:
+    """LSH bands ∪ SimHash pigeonhole blocks as ONE bucket table through ONE
+    pairs_from_buckets pass — half the shuffle chains of running the two
+    sweeps separately (the r01 candidates stage was barrier-bound, not
+    compute-bound). Band and block keyspaces are disambiguated by a kind
+    column; downstream est-Jaccard verification is the acceptance gate for
+    both, so the SimHash pre-filter (bit_count ≤ d) is subsumed — it only
+    pruned pairs the verifier re-checks anyway."""
+    from dedup_domains_spark.operators.simhash_buckets import simhash_block_table
+
+    bands = lsh_band_table(sig_df, cfg, id_col).select(
+        id_col, F.lit(0).alias("kind"), F.col("band").alias("k1"),
+        F.col("band_hash").alias("k2"),
+    )
+    blocks = simhash_block_table(sig_df, cfg, id_col).select(
+        id_col, F.lit(1).alias("kind"), F.col("block").alias("k1"),
+        F.col("block_val").alias("k2"),
+    )
+    return pairs_from_buckets(
+        bands.unionByName(blocks), ["kind", "k1", "k2"],
+        id_col=id_col, max_bucket_size=cfg.max_bucket_size,
     )

@@ -21,9 +21,18 @@ class CheckpointContext:
     spark: SparkSession
     base_dir: str | None      # None -> checkpointing disabled
     config_hash: str
+    # fingerprint of the INPUT (plan-derived, e.g. semanticHash of the source
+    # DataFrame): a rerun over a different corpus must not reuse stage tables
+    # computed for the old one (ADVICE r01). Note the limit: data overwritten
+    # IN PLACE at the same path keeps the same plan hash — pass an explicit
+    # content-derived fingerprint for mutable sources.
+    input_fingerprint: str = ""
 
     def path(self, stage: str) -> str:
-        return os.path.join(self.base_dir, f"{stage}_{self.config_hash}")
+        key = f"{stage}_{self.config_hash}"
+        if self.input_fingerprint:
+            key += f"_{self.input_fingerprint}"
+        return os.path.join(self.base_dir, key)
 
     def stage(self, df: DataFrame, stage: str) -> DataFrame:
         """Materialize df under the stage key (or reuse an existing run)."""

@@ -96,10 +96,12 @@ def stream_band_dedup(
     cfg = cfg or DedupConfig()
     from dedup_domains_spark.operators.lsh import lsh_band_table
 
+    # event time rides THROUGH the band explode (extra_cols) — re-joining it
+    # from sig_stream would be a stream-stream self-join with no time-range
+    # condition, whose join state grows without bound (ADVICE r01)
     bands = lsh_band_table(
-        sig_stream.select("uid", "minhash", event_time_col), cfg
-    ).join(
-        sig_stream.select("uid", event_time_col), "uid"
+        sig_stream.select("uid", "minhash", event_time_col), cfg,
+        extra_cols=(event_time_col,),
     )
 
     def update(key, pdf_iter, state):
