@@ -54,6 +54,52 @@ HEADLINE = [
 ]
 
 
+def _burn(q, secs: float, size: int) -> None:
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 62, size=size, dtype=np.uint64)
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < secs:
+        b = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (a >> np.uint64(13))
+        np.sort(b)
+        n += 1
+    q.put(n)
+
+
+def host_control(secs: float = 12.0) -> dict:
+    """Pure-numpy multiprocessing scaling control — NO Spark involved.
+
+    Measures what this host physically delivers when 8 vs 32 processes run
+    the same hash+sort loop: 'stream' uses 16 MB arrays (memory-bandwidth
+    profile, like the shingle kernel), 'cache' uses 400 KB arrays (L2-
+    resident). Measured r02: stream 0.28, cache 0.56 — i.e. 4x the vCPUs
+    deliver ~1.1-2.3x the substrate on this shared box, so RAW Spark
+    efficiencies must be read against this envelope; the normalized numbers
+    divide by the cache control (the conservative bound)."""
+    import multiprocessing as mp
+
+    out = {}
+    for name, size in (("stream", 2_000_000), ("cache", 50_000)):
+        rates = {}
+        for nproc in (8, 32):
+            q = mp.Queue()
+            ps = [mp.Process(target=_burn, args=(q, secs, size)) for _ in range(nproc)]
+            t0 = time.time()
+            for p in ps:
+                p.start()
+            total = sum(q.get() for _ in ps)
+            for p in ps:
+                p.join()
+            rates[nproc] = total / (time.time() - t0)
+        out[name] = {
+            "n_rate": round(rates[8], 1), "fourn_rate": round(rates[32], 1),
+            "efficiency": round(rates[32] / (4.0 * rates[8]), 3),
+        }
+    return out
+
+
 def _ensure_corpus() -> str:
     if not os.path.exists(CORPUS_CACHE):
         from dedup_domains_spark.datagen import gen_code_corpus
@@ -202,6 +248,20 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         corpus = _ensure_corpus()
         scaling = run_scaling(corpus)
+        ctl = host_control()
+        scaling["host_control"] = ctl
+        # raw efficiency divided by what the host itself delivers for a
+        # pure-numpy control at the same process counts (no Spark): the
+        # sandbox's 32 vCPUs do not deliver 4x the substrate of 8, so raw
+        # single-host ratios understate multi-host scaling (see BENCH.md)
+        denom = ctl["cache"]["efficiency"]
+        if denom > 0:
+            scaling["efficiency_host_normalized"] = round(
+                min(scaling["efficiency"] / denom, 1.0), 3
+            )
+            scaling["kernel_efficiency_host_normalized"] = round(
+                min(scaling["kernel_efficiency"] / denom, 1.0), 3
+            )
         result["scaling"] = scaling
         result["files_per_sec"] = scaling["fourn_fps"]
 

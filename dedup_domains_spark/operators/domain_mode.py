@@ -105,16 +105,30 @@ def dedup_dnsbl(df: DataFrame) -> DomainModeResult:
 
     dropped = exact_dropped.unionByName(subsumed).unionByName(ignored)
 
-    # M1: per-stage metrics (reference counters at pfb_dnsbl_prune.py:233-241).
-    metrics = (
-        df.select(F.lit("input").alias("stage"))
-        .groupBy("stage").count()
-        .unionByName(ignored.select(F.lit("ignored").alias("stage")).groupBy("stage").count())
-        .unionByName(regex_rows.select(F.lit("regex_carry_over").alias("stage")).groupBy("stage").count())
-        .unionByName(exact_dropped.select(F.lit("exact_dropped").alias("stage")).groupBy("stage").count())
-        .unionByName(subsumed.select(F.lit("subsumed").alias("stage")).groupBy("stage").count())
-        .unionByName(kept.select(F.lit("kept").alias("stage")).groupBy("stage").count())
+    # M1: per-stage metrics (reference counters at pfb_dnsbl_prune.py:233-241)
+    # in two passes over cached/derived frames: one conditional-sum agg over
+    # the input (incl. the reference's 63-byte label warning counter,
+    # src/domain.c:28,276-287 — row kept, occurrence counted) + one groupBy
+    # over the drop lineage.
+    label_warn = F.exists(
+        F.split(F.col("domain"), r"\."), lambda lbl: F.octet_length(lbl) > 63
+    ).cast("long")
+    base = df.agg(
+        F.count(F.lit(1)).alias("_input"),
+        F.sum((F.col("valid") != "ok").cast("long")).alias("_ignored"),
+        F.sum(((F.col("valid") == "ok") & (F.col("match_strength") == 2)).cast("long")).alias("_regex"),
+        F.sum(F.coalesce(label_warn, F.lit(0))).alias("_label_warn"),
+    ).selectExpr(
+        "stack(4, 'input', _input, 'ignored', _ignored, "
+        "'regex_carry_over', _regex, 'label_warn', _label_warn) as (stage, count)"
     )
+    drops = (
+        exact_dropped.select(F.lit("exact_dropped").alias("stage"))
+        .unionByName(subsumed.select(F.lit("subsumed").alias("stage")))
+        .unionByName(kept.select(F.lit("kept").alias("stage")))
+        .groupBy("stage").count()
+    )
+    metrics = base.unionByName(drops)
     return DomainModeResult(survivors=survivors, dropped=dropped, metrics=metrics)
 
 

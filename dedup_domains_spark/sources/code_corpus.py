@@ -16,13 +16,32 @@ from pyspark.sql import functions as F
 CORPUS_COLS = ["repo", "path", "commit", "lang", "content"]
 
 
-def load_code_corpus(spark: SparkSession, source: str) -> DataFrame:
-    """Load the corpus table from an Iceberg table name or a parquet path."""
-    if "/" not in source and "." in source:
-        try:
-            return spark.read.format("iceberg").load(source)
-        except Exception:
-            pass  # no Iceberg runtime in this sandbox — parquet fallback
+def load_code_corpus(spark: SparkSession, source: str, fmt: str | None = None) -> DataFrame:
+    """Load the corpus table from an Iceberg table name or a file path.
+
+    fmt overrides format detection; paths ending .csv/.json/.jsonl load via
+    the corresponding reader (header CSV, JSON-lines) with the corpus schema
+    enforced; everything else is parquet. Iceberg table names (dotted, no
+    slash) go through the Iceberg catalog when a runtime is present."""
+    if fmt is None:
+        if "/" not in source and "." in source:
+            try:
+                return spark.read.format("iceberg").load(source)
+            except Exception:
+                pass  # no Iceberg runtime in this sandbox — parquet fallback
+        low = source.rstrip("/").lower()
+        fmt = (
+            "csv" if low.endswith(".csv")
+            else "json" if low.endswith((".json", ".jsonl"))
+            else "parquet"
+        )
+    schema = "repo string, path string, commit string, lang string, content string"
+    if fmt == "csv":
+        return spark.read.schema(schema).option("header", "true").option(
+            "multiLine", "true"
+        ).option("escape", '"').csv(source)
+    if fmt == "json":
+        return spark.read.schema(schema).json(source)
     return spark.read.parquet(source)
 
 
