@@ -992,6 +992,95 @@ def lineitem_rollup(spark, sf_dir):
 
 
 @_q(
+    "orders_pivot",
+    """
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority LIKE '1%') AS p1,
+           count(*) FILTER (WHERE o_orderpriority LIKE '2%') AS p2,
+           count(*) FILTER (WHERE o_orderpriority LIKE '3%') AS p3,
+           count(*) FILTER (WHERE o_orderpriority LIKE '4%') AS p4,
+           count(*) FILTER (WHERE o_orderpriority LIKE '5%') AS p5
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "agg: pivot (beyond reference)",
+)
+def orders_pivot(spark, sf_dir):
+    """Priority-class counts pivoted to columns per order status — the
+    DataFrame pivot operator; the oracle is the equivalent conditional
+    aggregation."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "prio", F.substring("o_orderpriority", 1, 1)
+    )
+    p = (
+        o.groupBy("o_orderstatus")
+        .pivot("prio", ["1", "2", "3", "4", "5"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"p{c}") for c in "12345"],
+    )
+
+
+@_q(
+    "lineitem_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(median(l_quantity), 2) AS median_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "agg: CUBE + exact median (beyond reference)",
+)
+def lineitem_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.median("l_quantity"), 2).alias("median_qty"),
+        )
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1
+                  ELSE 0 END AS new_session
+      FROM ordered)
+    SELECT user_id, sum(new_session) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+    "window: sessionization by inactivity gap (beyond reference)",
+)
+def events_sessionize(spark, sf_dir):
+    """Sessions = runs of events per user with <=30 min between them —
+    lag + gap flag + sum, the standard sessionization window pattern."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events").withColumn("prev_ts", F.lag("ts").over(w))
+    # events.ts is TIMESTAMP_NTZ — route through timestamp for epoch seconds
+    gap = (
+        F.col("ts").cast("timestamp").cast("long")
+        - F.col("prev_ts").cast("timestamp").cast("long")
+    )
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.col("prev_ts").isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions")
+    )
+
+
+@_q(
     "scalar_functions",
     """
     SELECT o_orderkey,
