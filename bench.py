@@ -32,7 +32,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # latency (at 60k the 32-core run is ~50% fixed latency and the ratio says
 # nothing about throughput scaling)
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "240000"))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "1"))
 CORPUS_CACHE = f"/tmp/dedup_bench_corpus_{BENCH_ROWS}.parquet"
 
 HEADLINE = [
