@@ -100,6 +100,60 @@ def image_features(df: DataFrame, thumb_size: int = 8) -> DataFrame:
     return df.mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("n_windows", IntegerType()),
+    StructField("rms_db", ArrayType(FloatType())),   # per-window loudness
+    StructField("afingerprint", StringType()),       # 64-bit hex
+])
+
+
+def decode_audio(data: bytes, sr: int = 16_000, strict: bool = False) -> np.ndarray:
+    """STUB — container has no audio codecs (no soundfile/librosa/ffmpeg).
+    strict=True raises (prod behavior); default returns a deterministic
+    fake PCM stream derived from the bytes so the Spark-side plumbing
+    (schema, batching, windowing math) stays testable."""
+    if strict:
+        raise NotImplementedError(
+            "audio codecs (ffmpeg/libsndfile) are not available in this container"
+        )
+    seed = hashlib.sha256(data).digest()
+    rng = np.random.default_rng(int.from_bytes(seed[:8], "big"))
+    n = max(len(data), sr // 10)  # fake duration scales with payload size
+    return (rng.standard_normal(n) * 0.1).astype(np.float32)
+
+
+def audio_features(df: DataFrame, window: int = 4000) -> DataFrame:
+    """Decode → windowed RMS loudness → sign-of-delta fingerprint, one Arrow
+    pass (the audio analog of image_features: real windowing/fingerprint
+    math over the stubbed decode). The 64-bit fingerprint is the classic
+    energy-delta sketch (bit i = whether window i is louder than window
+    i-1), reusable by the SimHash Hamming-bucket dedup machinery exactly
+    like image phash."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                pcm = decode_audio(r.data)
+                nwin = max(len(pcm) // window, 1)
+                w = pcm[: nwin * window].reshape(nwin, -1)
+                rms = np.sqrt((w ** 2).mean(axis=1)) + 1e-12
+                db = (20 * np.log10(rms)).astype(np.float32)
+                delta = np.diff(db, prepend=db[:1]) > 0
+                val = 0
+                for b in delta[:64]:
+                    val = (val << 1) | int(b)
+                out.append((r.media_id, int(nwin), db.tolist(), f"{val:016x}"))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_windows", "rms_db", "afingerprint"]
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        fn, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 FRAME_SAMPLE_SCHEMA = StructType([
     StructField("media_id", StringType()),
     StructField("frame_idx", IntegerType()),

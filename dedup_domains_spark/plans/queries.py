@@ -1150,7 +1150,7 @@ def containment_probe_pairs(spark, sf_dir):
     )
 
 
-def _docs_as_media(spark, sf_dir, with_twins: bool = False):
+def _docs_as_media(spark, sf_dir, with_twins: bool = False, kind: str = "image"):
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
@@ -1165,8 +1165,8 @@ def _docs_as_media(spark, sf_dir, with_twins: bool = False):
         )
     return base.select(
         "media_id",
-        F.lit("image").alias("kind"),
-        F.lit("image/png").alias("mime"),
+        F.lit(kind).alias("kind"),
+        F.lit("image/png" if kind == "image" else "audio/wav").alias("mime"),
         F.lit(64).alias("width"), F.lit(64).alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
         "data",
@@ -1202,6 +1202,31 @@ def image_phash_dup_pairs(spark, sf_dir):
     return (
         a.join(b, "id_a")
         .filter(F.col("_pa") == F.col("_pb"))
+        .select("id_a", (F.col("id_a") + _TWIN).alias("id_b"))
+    )
+
+
+@_q("audio_dup_pairs", _PLANTED_IDENT_SQL,
+    "multimodal: audio decode→fingerprint planted-truth oracle")
+def audio_dup_pairs(spark, sf_dir):
+    """Planted byte-identical audio payloads recovered through the audio
+    chain (binary → Arrow-batched decode stub → windowed RMS →
+    energy-delta fingerprint → equality). Same batch-invariance contract as
+    image_phash_dup_pairs, on the audio path."""
+    from dedup_domains_spark.functions.multimodal import audio_features
+
+    feats = audio_features(
+        _docs_as_media(spark, sf_dir, with_twins=True, kind="audio")
+    ).select(F.col("media_id").cast("long").alias("mid"), "afingerprint")
+    a = feats.filter((F.col("mid") < _TWIN) & (F.col("mid") % 10 == 0)).select(
+        F.col("mid").alias("id_a"), F.col("afingerprint").alias("_fa")
+    )
+    b = feats.filter(F.col("mid") >= _TWIN).select(
+        (F.col("mid") - _TWIN).alias("id_a"), F.col("afingerprint").alias("_fb")
+    )
+    return (
+        a.join(b, "id_a")
+        .filter(F.col("_fa") == F.col("_fb"))
         .select("id_a", (F.col("id_a") + _TWIN).alias("id_b"))
     )
 

@@ -67,3 +67,42 @@ def test_video_frame_sampling(spark, media_df):
     got = frames.groupBy("media_id").count().collect()
     assert {r.media_id for r in got} == {f"v{i}" for i in range(5)}
     assert all(r["count"] == 3 for r in got)  # 3500ms / 1000ms -> 3 frames
+
+
+def test_audio_features_plumbing(spark):
+    """Audio decode→loudness→fingerprint chain: deterministic per payload,
+    batch-invariant, correct schema; video rows filtered out."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dedup_domains_spark.functions.multimodal import audio_features
+
+    rows = [
+        ("a1", "audio", b"payload-one" * 400),
+        ("a2", "audio", b"payload-two" * 900),
+        ("a1b", "audio", b"payload-one" * 400),  # identical payload to a1
+        ("v1", "video", b"not-audio"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "data"])
+    ).select(
+        "media_id", "kind", F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"), F.lit(None).cast("int").alias("height"),
+        F.lit(1000).alias("duration_ms"), "data",
+    )
+    feats = {r.media_id: r for r in audio_features(df).collect()}
+    assert set(feats) == {"a1", "a2", "a1b"}  # video row filtered
+    assert feats["a1"].afingerprint == feats["a1b"].afingerprint  # batch-invariant
+    assert feats["a1"].afingerprint != feats["a2"].afingerprint
+    assert feats["a2"].n_windows == len(feats["a2"].rms_db) > 1
+    import re
+    assert re.fullmatch(r"[0-9a-f]{16}", feats["a1"].afingerprint)
+
+
+def test_audio_decode_strict_raises():
+    import pytest as _pytest
+
+    from dedup_domains_spark.functions.multimodal import decode_audio
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"x", strict=True)
