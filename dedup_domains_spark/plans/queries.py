@@ -1306,3 +1306,369 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return V.bucketed_near_dup_pairs(
         allv, dim=64, threshold=0.9, n_planes=8, n_tables=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array containment (the north-rule's named verify path)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "suffix_containment_pairs",
+    """
+    SELECT a.doc_id AS small_id, b.doc_id AS big_id
+    FROM documents a JOIN documents b
+      ON a.doc_id != b.doc_id
+     AND length(a.text) < length(b.text)
+     AND position(a.text IN b.text) > 0
+    """,
+    "D2: probe candidates + per-container SUFFIX-ARRAY verify vs brute force",
+)
+def suffix_containment_pairs(spark, sf_dir):
+    """Same probe-index candidate generation as containment_probe_pairs, but
+    verified with the suffix-array path (operators/suffix_array.py): one
+    Manber-Myers suffix array per container, binary search per containee —
+    the many-candidates-per-container regime. Must find exactly the pairs
+    the O(n^2) brute-force oracle finds (reference rule D2,
+    src/domaintree.c:330-339)."""
+    from dedup_domains_spark.functions.signatures import add_signatures
+    from dedup_domains_spark.operators.suffix_array import suffix_contained_pairs
+    from dedup_domains_spark.sources.code_corpus import with_row_identity
+
+    cfg = DedupConfig(min_containee_tokens=8)
+    df = with_row_identity(_docs_as_corpus(spark, sf_dir)).withColumn(
+        "doc_id", F.col("path").cast("long")
+    )
+    sig = add_signatures(df.select("uid", "content"), cfg)
+    ids = df.select("uid", "doc_id")
+    pairs = suffix_contained_pairs(df, sig, cfg)
+    return (
+        pairs.join(ids.select(F.col("uid").alias("small_id"),
+                              F.col("doc_id").alias("_sd")), "small_id")
+        .join(ids.select(F.col("uid").alias("big_id"),
+                         F.col("doc_id").alias("_bd")), "big_id")
+        .select(F.col("_sd").alias("small_id"), F.col("_bd").alias("big_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (beyond reference: as-of + range, the time-series staples)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_asof_orders",
+    """
+    WITH ords AS (
+      SELECT o_custkey AS user_id, o_orderdate AS ots,
+             max(o_orderkey) AS order_key
+      FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, o.order_key
+    FROM events e ASOF LEFT JOIN ords o
+      ON e.user_id = o.user_id AND e.ts >= o.ots
+    """,
+    "as-of join (most recent order at-or-before each event)",
+)
+def events_asof_orders(spark, sf_dir):
+    """As-of join WITHOUT a non-equi join: tag orders (0) and events (1),
+    union, and take last_value(order_key) IGNORE NULLS over a
+    (user, time, tag) window. One shuffle on user_id, no range-join
+    explosion, no BroadcastNestedLoop — the partition-friendly as-of
+    formulation that survives 100x scale. Order rows sort before event rows
+    at equal timestamps, giving at-or-before semantics; orders are first
+    deduped to one row per (user, ts) (max order_key) so the as-of pick is
+    deterministic on both engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts"),
+        F.lit(None).cast("long").alias("order_key"), F.lit(1).alias("_tag"),
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ts"))
+        .agg(F.max("o_orderkey").alias("order_key"))
+        .select(F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+                "order_key", F.lit(0).alias("_tag"))
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.unionByName(od)
+        .withColumn("order_key", F.last("order_key", ignorenulls=True).over(w))
+        .filter("_tag = 1")
+        .select("event_id", "user_id", "order_key")
+    )
+
+
+@_q(
+    "orders_events_range_7d",
+    """
+    SELECT o.o_orderkey, count(e.event_id) AS n_events
+    FROM orders o LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts > o.o_orderdate
+     AND e.ts <= o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey
+    """,
+    "range join (events within 7 days after each order), time-bucketed",
+)
+def orders_events_range_7d(spark, sf_dir):
+    """Interval join WITHOUT the O(n*m) BroadcastNestedLoop a naive non-equi
+    join plans: both sides are bucketed into 7-day epochs, orders explode
+    into (bucket, bucket+1) — any event in (t, t+7d] lands in one of the
+    two — and the join is a plain equi-join on (user, bucket) with an exact
+    range filter after. Scales as a hash join on composite keys; the 2x
+    order fan-out is the entire cost."""
+    week = 7 * 24 * 3600
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ots"),
+        F.floor(F.unix_timestamp("o_orderdate") / week).alias("_b0"),
+    )
+    oe = o.withColumn("_b", F.explode(F.array("_b0", F.col("_b0") + 1)))
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.floor(F.unix_timestamp("ts") / week).alias("_b"),
+    )
+    hits = (
+        oe.join(e, ["user_id", "_b"])
+        .filter(
+            (F.col("ts") > F.col("ots"))
+            & (F.unix_timestamp("ts") <= F.unix_timestamp("ots") + week)
+        )
+        .groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        o.select("o_orderkey").join(hits, "o_orderkey", "left")
+        .select("o_orderkey", F.coalesce("n_events", F.lit(0)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data quality: repetition metrics + PII scrubbing
+# ---------------------------------------------------------------------------
+
+@_q(
+    "repetition_quality",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct,
+           round(1.0 - len(list_distinct(t)) * 1.0 / len(t), 4) AS dup_token_frac,
+           round((SELECT max(c) FROM (
+                    SELECT count(*) AS c FROM unnest(t) AS u(x) GROUP BY x))
+                 * 1.0 / len(t), 4) AS top_token_frac
+    FROM toks
+    """,
+    "quality: Gopher-style repetition metrics (map-side, zero shuffle)",
+)
+def repetition_quality(spark, sf_dir):
+    """Repetition-based quality signals (the Gopher/MassiveText family:
+    duplicate-token fraction, most-frequent-token mass). Computed entirely
+    with higher-order array functions — per-row, map-side, ZERO shuffle;
+    at 100 TB this runs at scan speed. The top-token count is
+    max over distinct tokens of occurrences, via transform+filter+size
+    (O(distinct x tokens) JVM comparisons per row — bounded by doc length)."""
+    d = _t(spark, sf_dir, "documents").withColumn("t", F.split("text", " "))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("t"),
+            lambda x: F.size(F.filter(F.col("t"), lambda y: y == x)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        F.round(1.0 - F.size(F.array_distinct("t")) / F.size("t"), 4).alias("dup_token_frac"),
+        F.round(top / F.size("t"), 4).alias("top_token_frac"),
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IP_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+@_q(
+    "pii_scrub",
+    f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' contact user' || doc_id || '@example.com now'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' from 10.' || doc_id % 256 || '.0.99'
+                  ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_IP_RE}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_IP_RE}', '<IP>', 'g')) AS scrubbed_md5
+    FROM planted
+    """,
+    "quality: PII detection + redaction (planted emails/IPs, map-side)",
+)
+def pii_scrub(spark, sf_dir):
+    """PII scrubbing over planted addresses: emails and IPv4s are planted
+    deterministically (SQL-expressible concat), then counted and redacted
+    with JVM-side regexes; the oracle recomputes the identical scrub in
+    DuckDB, so count drift or a replacement mismatch turns the row red.
+    Pure map-side — scan-speed at scale. Patterns restricted to syntax with
+    identical semantics in Java regex and RE2."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                            F.lit("@example.com now"))).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".0.99"))).otherwise(""),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_IP_RE), F.lit(0))).alias("n_ips"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+            )
+        ).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup (new batch vs reference corpus)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "bloom_dedup_new_docs",
+    """
+    WITH corpus AS (
+      SELECT sha256(text) AS sha FROM documents WHERE doc_id % 4 != 0),
+    newbatch AS (
+      SELECT doc_id AS new_id, sha256(text) AS sha FROM documents
+      WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS new_id, sha256(text) AS sha FROM documents
+      WHERE doc_id % 8 = 1)
+    SELECT new_id FROM newbatch
+    WHERE sha NOT IN (SELECT sha FROM corpus)
+    """,
+    "dedup: bloom-prefiltered incremental exact dedup vs anti-join oracle",
+)
+def bloom_dedup_new_docs(spark, sf_dir):
+    """Incremental dedup of a new batch against an existing corpus with a
+    broadcast Bloom prefilter (functions/bloom.py): rows that miss the
+    filter are DEFINITELY new (no false negatives) and skip the join
+    entirely; only bloom-positive candidates pay the exact semi-join that
+    removes false positives. The final answer is exact, so the oracle is
+    the plain anti-join SQL. At 10^12-file scale the prefilter cuts the
+    anti-join shuffle to the tiny duplicate-candidate fraction. Planted
+    duplicates (doc_id % 8 = 1 re-submitted verbatim under a new id) keep
+    both branches non-vacuous."""
+    from dedup_domains_spark.functions.bloom import bloom_prefilter_anti_join
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 4 != 0").select(F.sha2("text", 256).alias("sha"))
+    new = docs.filter("doc_id % 4 = 0").select(
+        F.col("doc_id").alias("new_id"), F.sha2("text", 256).alias("sha")
+    ).unionByName(
+        docs.filter("doc_id % 8 = 1").select(
+            (F.col("doc_id") + _TWIN).alias("new_id"), F.sha2("text", 256).alias("sha")
+        )
+    )
+    return bloom_prefilter_anti_join(new, corpus, "sha").select("new_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (the centroid-partitioned scale path, exact SQL-recomputable)
+# ---------------------------------------------------------------------------
+
+_IVF_SQL = """
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+      WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.embedding, c.cvec) DESC,
+                          c.cent_id) AS rn
+        FROM embeddings v, cents c) WHERE rn = 1),
+    probes AS (
+      SELECT q_id, cent_id FROM (
+        SELECT q.vec_id AS q_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, c.cvec) DESC,
+                          c.cent_id) AS rn
+        FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE rn <= 3),
+    cand AS (
+      SELECT DISTINCT p.q_id, a.vec_id
+      FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+      WHERE a.vec_id != p.q_id)
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT c.q_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY c.q_id
+               ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                        c.vec_id) AS rank
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.q_id
+      JOIN embeddings v ON v.vec_id = c.vec_id)
+    WHERE rank <= 5
+"""
+
+@_q("ann_ivf_topk", _IVF_SQL,
+    "similarity search: IVF (centroid-cell) ANN, exact SQL-recomputable")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: vectors are assigned to their nearest centroid
+    (deterministic seed centroids = vec_id % 50 = 0), queries probe their 3
+    nearest cells, and exact cosine top-5 runs only within the probed
+    cells' candidates. This is the centroid-partitioned complement of the
+    hyperplane-LSH path: cells become partition keys at scale, so each
+    query touches nprobe/ncells of the corpus. Every step (assignment,
+    probe choice, ranking) is deterministic and recomputed exactly by the
+    DuckDB oracle."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = e.filter("vec_id % 50 = 0").select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    sim = V.cosine(F.col("embedding"), F.col("cvec"))
+    scored = e.crossJoin(F.broadcast(cents)).withColumn("_s", sim)
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("_s"), "cent_id")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(aw))
+        .filter("rn = 1").select("vec_id", "cent_id")
+    )
+    probes = (
+        scored.filter("vec_id < 10")
+        .withColumn("rn", F.row_number().over(aw))
+        .filter("rn <= 3")
+        .select(F.col("vec_id").alias("q_id"), "cent_id")
+    )
+    cand = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id").distinct()
+    )
+    qv = e.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("_qv"))
+    cv = e.select("vec_id", F.col("embedding").alias("_cv"))
+    rw = Window.partitionBy("q_id").orderBy(F.desc("_s"), "vec_id")
+    return (
+        cand.join(F.broadcast(qv), "q_id").join(cv, "vec_id")
+        .withColumn("_s", V.cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter("rank <= 5")
+        .select(F.col("q_id").alias("query_id"), "rank", F.col("vec_id").alias("neighbor_id"))
+    )

@@ -82,3 +82,99 @@ def test_minhash_estimate_tracks_true_jaccard():
         true_j = len(sa & sb) / len(sa | sb)
         est = float(np.mean(np.array(sigs.minhash[a]) == np.array(sigs.minhash[b])))
         assert abs(est - true_j) < 0.2, (a, b, kind, true_j, est)
+
+
+# ---------------------------------------------------------------------------
+# Suffix array (operators/suffix_array.py)
+# ---------------------------------------------------------------------------
+
+def test_suffix_array_matches_sorted_suffixes():
+    import random
+    import numpy as np
+    from dedup_domains_spark.operators.suffix_array import build_suffix_array
+
+    rng = random.Random(11)
+    for _ in range(60):
+        n = rng.randint(0, 120)
+        s = bytes(rng.choice(b"abAB {}();\n") for _ in range(n))
+        sa = build_suffix_array(s)
+        truth = sorted(range(n), key=lambda i: s[i:])
+        assert list(sa) == truth
+
+
+def test_sa_contains_matches_python_in():
+    import random
+    from dedup_domains_spark.operators.suffix_array import (
+        build_suffix_array, sa_contains,
+    )
+
+    rng = random.Random(12)
+    for _ in range(40):
+        s = bytes(rng.choice(b"xyz ") for _ in range(rng.randint(1, 80)))
+        sa = build_suffix_array(s)
+        for _ in range(15):
+            m = rng.randint(0, 6)
+            if rng.random() < 0.5 and len(s) > m:
+                start = rng.randint(0, len(s) - m)
+                p = s[start:start + m]
+            else:
+                p = bytes(rng.choice(b"xyzw ") for _ in range(m))
+            assert sa_contains(s, sa, p) == (p in s)
+
+
+def test_suffix_verify_agrees_with_scan_verify(spark):
+    """Per-container suffix-array verify must keep exactly the pairs the
+    plain-scan verifier keeps."""
+    from dedup_domains_spark.operators.containment import verify_containment
+    from dedup_domains_spark.operators.suffix_array import suffix_verify_containment
+
+    docs = [
+        (1, "def f(x): return x + 1"),
+        (2, "header\ndef f(x): return x + 1\nfooter"),
+        (3, "completely different content here"),
+        (4, "return x"),
+    ]
+    df = spark.createDataFrame(docs, ["uid", "content"])
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 1), (4, 3)], ["small_id", "big_id"]
+    )
+    a = {tuple(r) for r in verify_containment(cand, df).collect()}
+    b = {tuple(r) for r in suffix_verify_containment(cand, df).collect()}
+    assert a == b == {(1, 2), (4, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Bloom prefilter (functions/bloom.py)
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_low_fp():
+    import numpy as np
+    from dedup_domains_spark.functions.bloom import (
+        _positions, _set_bits, _test_bits, bloom_params,
+    )
+
+    rng = np.random.default_rng(5)
+    members = rng.integers(-2**62, 2**62, size=2000, dtype=np.int64)
+    others = rng.integers(-2**62, 2**62, size=20000, dtype=np.int64)
+    others = np.setdiff1d(others, members)
+    m, k = bloom_params(len(members), fp_rate=0.01)
+    bitmap = np.zeros(m // 8, dtype=np.uint8)
+    _set_bits(bitmap, _positions(members, m, k))
+    assert _test_bits(bitmap, _positions(members, m, k)).all()  # no false negatives
+    fp = _test_bits(bitmap, _positions(others, m, k)).mean()
+    assert fp < 0.03, fp
+
+
+def test_bloom_prefilter_anti_join_is_exact(spark):
+    from pyspark.sql import functions as F
+    from dedup_domains_spark.functions.bloom import bloom_prefilter_anti_join
+
+    corpus = spark.range(0, 300).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    new = spark.range(200, 500).select(
+        F.col("id").alias("new_id"), F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    out = bloom_prefilter_anti_join(new, corpus, "key")
+    got = sorted(r.new_id for r in out.collect())
+    assert got == list(range(300, 500))
