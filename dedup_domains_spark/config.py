@@ -42,6 +42,12 @@ class DedupConfig:
     containment_probe_shingles: int = 8    # bottom-s sketch probes per doc
     containment_max_doc_freq: int = 1000   # drop inverted-index postings above this DF
     min_containee_tokens: int = 32         # don't bother subsuming tiny docs
+    # verify strategy for candidate (containee, container) pairs:
+    #   "scan"         — independent C-level substring scan per pair
+    #   "suffix_array" — one suffix array per container, binary search per
+    #                    containee (wins when many candidates share a
+    #                    container, e.g. boilerplate/license carriers)
+    containment_verify: str = "scan"
 
     # --- skew / partitioning ---
     max_bucket_size: int = 64          # LSH bucket cap before salting splits it

@@ -111,7 +111,12 @@ def run_pipeline(
     near = ckpt.stage(near.select("id_a", "id_b"), "near_pairs")
 
     # ---- D2 analog: exact-substring containment ----
-    contained = contained_pairs(exact_reps, sig_df, cfg)
+    if cfg.containment_verify == "suffix_array":
+        from dedup_domains_spark.operators.suffix_array import suffix_contained_pairs
+
+        contained = suffix_contained_pairs(exact_reps, sig_df, cfg)
+    else:
+        contained = contained_pairs(exact_reps, sig_df, cfg)
     contained = ckpt.stage(contained, "contained_pairs").cache()
 
     # ---- edge union: near + containment + exact-dup membership ----

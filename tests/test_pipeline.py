@@ -103,3 +103,17 @@ def test_checkpoint_resume(spark, tmp_path):
     s1 = {r.uid for r in r1.survivors.select("uid").collect()}
     s2 = {r.uid for r in r2.survivors.select("uid").collect()}
     assert s1 == s2
+
+
+def test_suffix_verify_pipeline_matches_scan(spark):
+    """containment_verify='suffix_array' must yield the same survivor set as
+    the default scan verify — the two verify paths are interchangeable."""
+    corpus = gen_code_corpus(150)
+    files = spark.createDataFrame(corpus.files)
+    scan = run_pipeline(spark, files, DedupConfig())
+    sfx = run_pipeline(
+        spark, files, DedupConfig(containment_verify="suffix_array")
+    )
+    a = {tuple(r) for r in scan.survivors.select("repo", "path", "commit").collect()}
+    b = {tuple(r) for r in sfx.survivors.select("repo", "path", "commit").collect()}
+    assert a == b
