@@ -48,6 +48,13 @@ class DedupConfig:
     #                    containee (wins when many candidates share a
     #                    container, e.g. boilerplate/license carriers)
     containment_verify: str = "scan"
+    # probe-table placement for the containment inverted-index join:
+    # True broadcasts the (docs x s x 16B) probe table so the corpus shingle
+    # mass never shuffles — right up to ~10^6 docs per job; False degrades
+    # to a shuffle join (AQE skew-split) for corpora whose probe table
+    # exceeds broadcast size. BENCH.md (960k-row validation) quantifies the
+    # crossover.
+    containment_broadcast_probes: bool = True
 
     # --- skew / partitioning ---
     max_bucket_size: int = 64          # LSH bucket cap before salting splits it

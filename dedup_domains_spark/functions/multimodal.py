@@ -172,8 +172,11 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 n = max(int((r.duration_ms or 0) / every_ms), 1)
                 for i in range(n):
+                    # stub frame = sha256(payload || ascii(frame_idx)) — a
+                    # deterministic, SQL-recomputable stand-in for the real
+                    # decoder (codecs absent in this container)
                     seed = hashlib.sha256(
-                        r.data + i.to_bytes(4, "big")
+                        r.data + str(i).encode("ascii")
                     ).digest()
                     rows.append((r.media_id, i, seed))  # stub frame bytes
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])

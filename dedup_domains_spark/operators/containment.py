@@ -163,5 +163,8 @@ def contained_pairs(
     df: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid"
 ) -> DataFrame:
     """(small_id, big_id) verified exact-substring containment pairs."""
-    cand = containment_candidates(df, sig_df, cfg, id_col)
+    cand = containment_candidates(
+        df, sig_df, cfg, id_col,
+        broadcast_probes=cfg.containment_broadcast_probes,
+    )
     return verify_containment(cand, df, id_col)

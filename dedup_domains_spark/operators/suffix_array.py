@@ -144,5 +144,8 @@ def suffix_contained_pairs(
     operator with the suffix-array verify path."""
     from dedup_domains_spark.operators.containment import containment_candidates
 
-    cand = containment_candidates(df, sig_df, cfg, id_col)
+    cand = containment_candidates(
+        df, sig_df, cfg, id_col,
+        broadcast_probes=cfg.containment_broadcast_probes,
+    )
     return suffix_verify_containment(cand, df, id_col)

@@ -1672,3 +1672,76 @@ def ann_ivf_topk(spark, sf_dir):
         .filter("rank <= 5")
         .select(F.col("q_id").alias("query_id"), "rank", F.col("vec_id").alias("neighbor_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pretokenization + video frame sampling
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")  # escape the contraction apostrophe
+
+@_q(
+    "bpe_pretokenize",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '\\w+')) AS n_word_tokens
+    FROM documents
+    """,
+    "token counting: GPT-2-style BPE pretokenizer split (map-side)",
+)
+def bpe_pretokenize(spark, sf_dir):
+    """Token counting with the GPT-2-family BPE PRE-tokenizer split
+    (contraction suffixes, space-prefixed letter/digit/punctuation runs,
+    whitespace runs) alongside the plain word-run count. Pure JVM regex,
+    map-side, scan-speed at scale; the pattern is restricted to syntax with
+    identical semantics in Java regex and RE2 so the DuckDB oracle
+    recomputes it exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+"), F.lit(0))).alias("n_word_tokens"),
+    )
+
+
+@_q(
+    "video_frame_sample",
+    """
+    WITH media AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+             doc_id % 10 + 1 AS n_frames
+      FROM documents),
+    idx AS (
+      SELECT media_id, text, CAST(u.i AS INTEGER) AS frame_idx
+      FROM media, unnest(generate_series(0, n_frames - 1)) AS u(i))
+    SELECT media_id, frame_idx,
+           sha256(text || CAST(frame_idx AS VARCHAR)) AS frame_sha
+    FROM idx
+    """,
+    "multimodal: video frame sampling (generator fan-out, SQL-recomputable)",
+)
+def video_frame_sample(spark, sf_dir):
+    """Video frame sampling through the real generator path
+    (functions/multimodal.sample_video_frames — mapInPandas fan-out, one
+    row per sampled frame, nothing collected on the driver). Durations are
+    planted as (doc_id % 10 + 1) seconds at 1 frame/s, and the stub frame
+    bytes are sha256(payload || ascii(frame_idx)), so the oracle recomputes
+    every emitted frame exactly: a fan-out miscount or a nondeterministic
+    frame turns the row red."""
+    from dedup_domains_spark.functions.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(64).alias("width"), F.lit(64).alias("height"),
+        ((F.col("doc_id") % 10 + 1) * 1000).cast("int").alias("duration_ms"),
+        F.encode("text", "utf-8").alias("data"),
+    )
+    frames = sample_video_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_sha")
+    )
