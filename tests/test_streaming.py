@@ -78,3 +78,46 @@ def test_stream_signatures_and_band_dedup(spark, stream_source_dir, tmp_path):
     # exact duplicates share every band hash -> at least one 'dup' flag
     assert got.filter("is_new = 'dup'").count() > 0
     assert set(got.columns) == {"uid", "band", "band_hash", "is_new", "ts"}
+
+
+def test_cross_microbatch_dedup_state(spark, tmp_path):
+    """Duplicates arriving in a LATER micro-batch must still be suppressed:
+    state (not batch-local distinct) carries the seen set across batches.
+    maxFilesPerTrigger=1 forces one micro-batch per file."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01")
+    batch1 = pd.DataFrame({
+        "repo": ["r"] * 2, "path": ["a", "b"], "commit": ["c1", "c2"],
+        "lang": ["py", "py"], "content": ["alpha content", "beta content"],
+        "ts": [t0, t0],
+    })
+    batch2 = pd.DataFrame({
+        "repo": ["r"] * 2, "path": ["a2", "c"], "commit": ["c3", "c4"],
+        "lang": ["py", "py"],
+        # a2 duplicates batch1's "a" content exactly; c is new
+        "content": ["alpha content", "gamma content"],
+        "ts": [t0 + pd.Timedelta(seconds=1), t0 + pd.Timedelta(seconds=1)],
+    })
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(batch2).coalesce(1).write.parquet(str(src / "f2"))
+
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = stream_exact_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("xbatch")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select content from xbatch").collect()
+    contents = sorted(r.content for r in rows)
+    assert contents == ["alpha content", "beta content", "gamma content"]
