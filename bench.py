@@ -100,12 +100,13 @@ def host_control(secs: float = 12.0) -> dict:
     return out
 
 
-def _ensure_corpus() -> str:
-    if not os.path.exists(CORPUS_CACHE):
+def _ensure_corpus(rows: int = BENCH_ROWS) -> str:
+    cache = f"/tmp/dedup_bench_corpus_{rows}.parquet"
+    if not os.path.exists(cache):
         from dedup_domains_spark.datagen import gen_code_corpus
 
-        gen_code_corpus(BENCH_ROWS, avg_tokens=300).files.to_parquet(CORPUS_CACHE)
-    return CORPUS_CACHE
+        gen_code_corpus(rows, avg_tokens=300).files.to_parquet(cache)
+    return cache
 
 
 def run_headline() -> dict[str, float]:
@@ -248,6 +249,22 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         corpus = _ensure_corpus()
         scaling = run_scaling(corpus)
+
+        # Weak scaling: same per-core load — BENCH_ROWS/4 rows on N=8 cores
+        # vs the BENCH_ROWS rows on 4N=32 cores already measured above.
+        # weak_efficiency = fps(4N on 4X rows) / (4 * fps(N on X rows));
+        # 1.0 means 4x the cores absorb 4x the data in the same wall time.
+        # Complements the strong-scaling ratio: it amortizes the fixed
+        # driver-barrier latency identically in numerator and denominator,
+        # so it isolates the throughput question the cluster gate asks.
+        small = _one_scaling_run(8, _ensure_corpus(BENCH_ROWS // 4), 4)
+        scaling["weak_n_rows"] = small["rows"]
+        scaling["weak_n_sec"] = small["wall_sec"]
+        scaling["weak_n_fps"] = small["fps"]
+        scaling["weak_efficiency"] = round(
+            scaling["fourn_fps"] / (4.0 * small["fps"]), 3
+        )
+
         ctl = host_control()
         scaling["host_control"] = ctl
         # raw efficiency divided by what the host itself delivers for a

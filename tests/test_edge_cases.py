@@ -57,3 +57,43 @@ def test_exact_jaccard_verify_path(spark):
     pairs = list(corpus.pairs.itertuples(index=False))
     hit = sum(1 for p in pairs if rows.get(p.id_a) == rows.get(p.id_b))
     assert hit / len(pairs) >= 0.99
+
+
+def test_bloom_prefilter_empty_corpus(spark):
+    """Dedup against an EMPTY reference corpus: everything is new, and the
+    zero-item bloom build must not divide by zero."""
+    from pyspark.sql import functions as F
+
+    from dedup_domains_spark.functions.bloom import bloom_prefilter_anti_join
+
+    corpus = spark.createDataFrame([], "key string")
+    new = spark.range(0, 10).select(
+        F.col("id").alias("new_id"), F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    out = bloom_prefilter_anti_join(new, corpus, "key")
+    assert out.count() == 10
+
+
+def test_suffix_verify_empty_candidates(spark):
+    from dedup_domains_spark.operators.suffix_array import suffix_verify_containment
+
+    df = spark.createDataFrame([(1, "abc")], ["uid", "content"])
+    cand = spark.createDataFrame([], "small_id long, big_id long")
+    assert suffix_verify_containment(cand, df).count() == 0
+
+
+def test_suffix_array_unicode_content(spark):
+    """Multi-byte UTF-8 content: the byte-level suffix array must agree with
+    Python's substring semantics (utf-8 byte containment == str containment
+    for whole-string patterns)."""
+    from dedup_domains_spark.operators.suffix_array import suffix_verify_containment
+
+    docs = [
+        (1, "naïve café ☕"),
+        (2, "prefix naïve café ☕ suffix 日本語"),
+        (3, "日本語テキスト"),
+    ]
+    df = spark.createDataFrame(docs, ["uid", "content"])
+    cand = spark.createDataFrame([(1, 2), (3, 2), (1, 3)], ["small_id", "big_id"])
+    got = {tuple(r) for r in suffix_verify_containment(cand, df).collect()}
+    assert got == {(1, 2)}
