@@ -54,7 +54,26 @@ class PipelineResult:
     edges: DataFrame         # id_a, id_b, edge_kind — the duplicate graph
     lineage: DataFrame       # uid, action, reason
     metrics: DataFrame       # stage, count
+    partition_stats: DataFrame | None = None  # stage, partition_id, rows
     sig_df: DataFrame | None = None
+
+
+def _partition_stats(stages: dict[str, DataFrame]) -> DataFrame:
+    """Per-partition row counts for the named stage DataFrames — the skew
+    diagnostic ('per-partition lineage and metrics', BASELINE.json). A
+    partition holding >> rows/n_partitions pinpoints a hot key (mega-bucket,
+    boilerplate shingle) before it blows an executor at real scale. Lazy:
+    nothing is computed until the caller evaluates it."""
+    parts = [
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .select(F.lit(name).alias("stage"), "partition_id", "rows")
+        for name, df in stages.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def run_pipeline(
@@ -226,6 +245,9 @@ def run_pipeline(
         edges=edges,
         lineage=lineage,
         metrics=metrics,
+        partition_stats=_partition_stats(
+            {"signatures": sig_df, "edges": edges, "cluster_map": cluster_map}
+        ),
         sig_df=sig_df,
     )
 

@@ -117,3 +117,17 @@ def test_suffix_verify_pipeline_matches_scan(spark):
     a = {tuple(r) for r in scan.survivors.select("repo", "path", "commit").collect()}
     b = {tuple(r) for r in sfx.survivors.select("repo", "path", "commit").collect()}
     assert a == b
+
+
+def test_partition_stats_reconcile(spark):
+    """Per-partition stats must sum to the stage totals and expose the skew
+    profile of the cached stages."""
+    corpus = gen_code_corpus(100)
+    res = run_pipeline(spark, spark.createDataFrame(corpus.files), DedupConfig())
+    from pyspark.sql import functions as F
+
+    ps = res.partition_stats.groupBy("stage").agg(F.sum("rows").alias("total"))
+    totals = {r.stage: r.total for r in ps.collect()}
+    assert totals["edges"] == res.edges.count()
+    assert totals["cluster_map"] == res.cluster_map.count()
+    assert totals["signatures"] == res.sig_df.count()
