@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--bands", type=int, default=32)
     pc.add_argument("--jaccard", type=float, default=0.5)
     pc.add_argument("--exact-jaccard", action="store_true")
+    pc.add_argument("--containment-verify", choices=["scan", "suffix_array"],
+                    default="scan",
+                    help="substring verify strategy: per-pair scan or "
+                         "per-container suffix array")
+    pc.add_argument("--shuffle-probes", action="store_true",
+                    help="shuffle-join the containment probe table instead "
+                         "of broadcasting it (the >10^6-doc regime)")
     _add_spark_args(pc)
 
     pd_ = sub.add_parser("dnsbl", help="reference-parity domain mode")
@@ -86,6 +93,8 @@ def main(argv: list[str] | None = None) -> int:
             bands=args.bands, rows_per_band=args.num_perm // args.bands,
             jaccard_threshold=args.jaccard,
             use_exact_jaccard=args.exact_jaccard,
+            containment_verify=args.containment_verify,
+            containment_broadcast_probes=not args.shuffle_probes,
         )
         corpus = load_code_corpus(spark, args.input)
         res = run_pipeline(
