@@ -95,13 +95,22 @@ def load_dnsbl_files(spark: SparkSession, paths: list[str]) -> DataFrame:
         pd.DataFrame(uri_map, columns=["_uri", "source_file", "file_order"])
     ).withColumn("file_order", F.col("file_order").cast("int"))
 
+    # Line order within a file: a feed larger than maxPartitionBytes scans as
+    # SEVERAL splits, and Spark packs splits into partitions by SIZE, not by
+    # file offset — monotonically_increasing_id alone would interleave them.
+    # Ordering by (block byte offset, id-within-split) is correct for any
+    # split geometry: block_start orders the splits, the partition-local id
+    # orders rows inside each split.
     lines = spark.read.text([u for u, _, _ in uri_map]).select(
         F.input_file_name().alias("_uri"),
+        F.input_file_block_start().alias("_blk"),
         F.monotonically_increasing_id().alias("_mid"),
         F.col("value"),
     )
-    w = Window.partitionBy("_uri").orderBy("_mid")
-    lines = lines.withColumn("linenumber", F.row_number().over(w).cast("long"))
+    w = Window.partitionBy("_uri").orderBy("_blk", "_mid")
+    lines = lines.withColumn(
+        "linenumber", F.row_number().over(w).cast("long")
+    ).drop("_blk")
 
     # framing: strip trailing \r, truncate over-long lines, drop blank frames
     # AFTER numbering (blank lines advance the line counter in the reference,

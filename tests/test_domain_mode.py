@@ -150,3 +150,27 @@ def test_golden_e2e(spark, run_inputs, check):
         got = out.get(os.path.join(REF, inp), [])
         want = _golden(gold)
         assert got == want, f"{inp}: {got} != {want}"
+
+
+def test_multi_split_file_keeps_line_order(spark, tmp_path):
+    """A feed bigger than maxPartitionBytes scans as several splits; line
+    numbers must still follow file order (ordered by block offset, then
+    partition-local id — not by split packing order)."""
+    import pandas as pd
+
+    path = str(tmp_path / "big.fat")
+    n = 40_000
+    with open(path, "w") as f:
+        for i in range(n):
+            f.write(f",host{i}.example.com,,0,list_a,G,0\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024))
+        df = load_dnsbl_files(spark, [path])
+        got = (
+            df.select("linenumber", "domain").orderBy("linenumber").toPandas()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert list(got["linenumber"]) == list(range(1, n + 1))
+    assert list(got["domain"]) == [f"host{i}.example.com" for i in range(n)]
