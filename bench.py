@@ -33,7 +33,6 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # nothing about throughput scaling)
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "240000"))
 SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "1"))
-CORPUS_CACHE = f"/tmp/dedup_bench_corpus_{BENCH_ROWS}.parquet"
 
 HEADLINE = [
     "exact_dedup_survivors",
@@ -206,7 +205,12 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS) -> dict:
     vs local-cluster[4,8] (32 cores). Alternating best-of-`rounds` to defeat
     shared-host noise. Reports the full pipeline AND the signature kernel
     (the compute that dominates at real scale — see BENCH.md)."""
-    small_corpus = _ensure_corpus(BENCH_ROWS // 4)
+    # derive the weak-leg size from the ACTUAL corpus row count (parquet
+    # metadata) rather than assuming the caller passed BENCH_ROWS rows
+    import pyarrow.parquet as pq
+
+    corpus_rows = pq.ParquetFile(corpus).metadata.num_rows
+    small_corpus = _ensure_corpus(corpus_rows // 4)
     best: dict[str, dict] = {}
     legs = [("n", 8, corpus), ("fourn", 32, corpus), ("weak_n", 8, small_corpus)]
     for _ in range(rounds):

@@ -76,6 +76,11 @@ class DedupConfig:
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
                 f"must equal num_perm ({self.num_perm})"
             )
+        if self.containment_verify not in ("scan", "suffix_array"):
+            raise ValueError(
+                f"containment_verify must be 'scan' or 'suffix_array', "
+                f"got {self.containment_verify!r}"
+            )
 
     def config_hash(self) -> str:
         """Stable hash of the config — keys per-stage checkpoint tables so a

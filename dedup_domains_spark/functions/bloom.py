@@ -106,20 +106,35 @@ def might_contain_udf(spark, bitmap: bytes, m: int, k: int):
 
 
 def bloom_prefilter_anti_join(
-    new: DataFrame, corpus: DataFrame, key_col: str, fp_rate: float = 0.01
+    new: DataFrame, corpus: DataFrame, key_col: str, fp_rate: float = 0.01,
+    n_items: int | None = None,
 ) -> DataFrame:
     """Rows of ``new`` whose ``key_col`` does NOT occur in ``corpus`` —
     exact anti-join semantics, Bloom-prefiltered so only bloom-positive
-    candidates reach the join."""
-    spark = new.sparkSession
-    n = corpus.count()
-    bitmap, m, k = build_bloom(corpus, key_col, n, fp_rate)
-    mc = might_contain_udf(spark, bitmap, m, k)
+    candidates reach the join.
 
-    flagged = new.withColumn("_bloom_hit", mc(F.xxhash64(key_col)))
-    definite_new = flagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
-    candidates = flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
-    survived = candidates.join(
-        corpus.select(key_col).distinct(), key_col, "leftanti"
-    )
-    return definite_new.unionByName(survived)
+    The corpus key set is distinct-ed once and persisted: the count (bloom
+    sizing), the bitmap build, and the candidate semi-join all read the
+    cached keys — one pass over the corpus lineage, not three. ``new`` is
+    likewise persisted before the bloom split so its lineage (and the UDF)
+    run once, not once per branch. Pass ``n_items`` when the corpus
+    cardinality is already known to skip the count job entirely."""
+    from pyspark.storagelevel import StorageLevel
+
+    spark = new.sparkSession
+    keys = corpus.select(key_col).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = n_items if n_items is not None else keys.count()
+        bitmap, m, k = build_bloom(keys, key_col, n, fp_rate)
+        mc = might_contain_udf(spark, bitmap, m, k)
+
+        flagged = new.withColumn("_bloom_hit", mc(F.xxhash64(key_col))).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        definite_new = flagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
+        candidates = flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
+        survived = candidates.join(keys, key_col, "leftanti")
+        return definite_new.unionByName(survived)
+    except Exception:
+        keys.unpersist()
+        raise

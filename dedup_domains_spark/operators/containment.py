@@ -136,16 +136,24 @@ def containment_candidates(
     return hits
 
 
-def verify_containment(
+def join_pair_contents(
     candidates: DataFrame, df: DataFrame, id_col: str = "uid"
 ) -> DataFrame:
-    """True substring check: content(small) in content(big)."""
+    """Attach both sides' content to candidate (small_id, big_id) pairs as
+    (_ct_s, _ct_b) — shared scaffolding for every verify strategy."""
     c = df.select(F.col(id_col).alias("_cid"), F.col("content").alias("_ct"))
-    j = (
+    return (
         candidates
         .join(c.withColumnRenamed("_cid", "small_id").withColumnRenamed("_ct", "_ct_s"), "small_id")
         .join(c.withColumnRenamed("_cid", "big_id").withColumnRenamed("_ct", "_ct_b"), "big_id")
     )
+
+
+def verify_containment(
+    candidates: DataFrame, df: DataFrame, id_col: str = "uid"
+) -> DataFrame:
+    """True substring check: content(small) in content(big)."""
+    j = join_pair_contents(candidates, df, id_col)
 
     @F.pandas_udf(BooleanType())
     def _contains(small: pd.Series, big: pd.Series) -> pd.Series:

@@ -30,7 +30,6 @@ from typing import Iterable, List
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 
@@ -107,12 +106,10 @@ def suffix_verify_containment(
     scan verify) — interchangeable; this one wins when candidate fan-in per
     container is high.
     """
-    c = df.select(F.col(id_col).alias("_cid"), F.col("content").alias("_ct"))
-    j = (
-        candidates
-        .join(c.withColumnRenamed("_cid", "small_id").withColumnRenamed("_ct", "_ct_s"), "small_id")
-        .join(c.withColumnRenamed("_cid", "big_id").withColumnRenamed("_ct", "_ct_b"), "big_id")
-        .select("small_id", "big_id", "_ct_s", "_ct_b")
+    from dedup_domains_spark.operators.containment import join_pair_contents
+
+    j = join_pair_contents(candidates, df, id_col).select(
+        "small_id", "big_id", "_ct_s", "_ct_b"
     )
 
     out_schema = StructType([
@@ -121,10 +118,20 @@ def suffix_verify_containment(
     ])
 
     def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"small_id": [], "big_id": []}).astype("int64")
         if pdf.empty:
-            return pd.DataFrame({"small_id": [], "big_id": []}).astype("int64")
+            return empty
+        # null/empty contract matches the scan verifier (containment.py
+        # `bool(s) and bool(b)`): null or empty content on either side is
+        # rejected, never an error
         big = pdf["_ct_b"].iloc[0]
+        if big is None or big == "" or (not isinstance(big, str) and not big):
+            return empty
         data = big.encode("utf-8", "surrogatepass") if isinstance(big, str) else bytes(big)
+        valid = pdf["_ct_s"].map(lambda s: s is not None and bool(s))
+        pdf = pdf[valid]
+        if pdf.empty:
+            return empty
         patterns = [
             s.encode("utf-8", "surrogatepass") if isinstance(s, str) else bytes(s)
             for s in pdf["_ct_s"]

@@ -1130,8 +1130,17 @@ def containment_probe_pairs(spark, sf_dir):
     the brute-force cross-join oracle: the probe path must find exactly the
     pairs the O(n²) twin finds. This is the query the bench times; the
     cartesian variant (containment_pairs) remains only as the oracle twin."""
-    from dedup_domains_spark.functions.signatures import add_signatures
     from dedup_domains_spark.operators.containment import contained_pairs
+
+    return _containment_over_docs(spark, sf_dir, contained_pairs)
+
+
+def _containment_over_docs(spark, sf_dir, pairs_fn):
+    """Shared scaffolding for the containment scale-path queries: documents
+    as a code corpus, signatures, ``pairs_fn(df, sig, cfg)``, and the
+    uid→doc_id remap. The two public queries differ only in the verify
+    strategy inside pairs_fn."""
+    from dedup_domains_spark.functions.signatures import add_signatures
     from dedup_domains_spark.sources.code_corpus import with_row_identity
 
     cfg = DedupConfig(min_containee_tokens=8)
@@ -1140,7 +1149,7 @@ def containment_probe_pairs(spark, sf_dir):
     )
     sig = add_signatures(df.select("uid", "content"), cfg)
     ids = df.select("uid", "doc_id")
-    pairs = contained_pairs(df, sig, cfg)
+    pairs = pairs_fn(df, sig, cfg)
     return (
         pairs.join(ids.select(F.col("uid").alias("small_id"),
                               F.col("doc_id").alias("_sd")), "small_id")
@@ -1330,24 +1339,9 @@ def suffix_containment_pairs(spark, sf_dir):
     the many-candidates-per-container regime. Must find exactly the pairs
     the O(n^2) brute-force oracle finds (reference rule D2,
     src/domaintree.c:330-339)."""
-    from dedup_domains_spark.functions.signatures import add_signatures
     from dedup_domains_spark.operators.suffix_array import suffix_contained_pairs
-    from dedup_domains_spark.sources.code_corpus import with_row_identity
 
-    cfg = DedupConfig(min_containee_tokens=8)
-    df = with_row_identity(_docs_as_corpus(spark, sf_dir)).withColumn(
-        "doc_id", F.col("path").cast("long")
-    )
-    sig = add_signatures(df.select("uid", "content"), cfg)
-    ids = df.select("uid", "doc_id")
-    pairs = suffix_contained_pairs(df, sig, cfg)
-    return (
-        pairs.join(ids.select(F.col("uid").alias("small_id"),
-                              F.col("doc_id").alias("_sd")), "small_id")
-        .join(ids.select(F.col("uid").alias("big_id"),
-                         F.col("doc_id").alias("_bd")), "big_id")
-        .select(F.col("_sd").alias("small_id"), F.col("_bd").alias("big_id"))
-    )
+    return _containment_over_docs(spark, sf_dir, suffix_contained_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -1432,9 +1426,12 @@ def orders_events_range_7d(spark, sf_dir):
     )
     hits = (
         oe.join(e, ["user_id", "_b"])
+        # full-precision timestamp bounds — unix_timestamp() floors to whole
+        # seconds, which would admit events up to 1s past the window edge
+        # that the sub-second-exact oracle rejects
         .filter(
             (F.col("ts") > F.col("ots"))
-            & (F.unix_timestamp("ts") <= F.unix_timestamp("ots") + week)
+            & (F.col("ts") <= F.col("ots") + F.expr("INTERVAL 7 DAYS"))
         )
         .groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_events"))
     )

@@ -29,7 +29,11 @@ OUT = "/tmp/bigdnsbl_race"
 
 def gen_corpus(n_files: int, rows: int) -> list[str]:
     """Deterministic pfBlockerNG CSV feeds: ~15% FULL parents, ~25% children
-    of random parents (prunable when a FULL parent exists), rest unique."""
+    of random parents (prunable when a FULL parent exists), rest unique.
+    The cache directory is keyed by (n_files, rows) so a size change never
+    silently reuses stale feeds."""
+    global OUT
+    OUT = f"/tmp/bigdnsbl_race_{n_files}x{rows}"
     os.makedirs(OUT, exist_ok=True)
     tlds = np.array(["com", "net", "org", "io", "ru"])
     paths = []
