@@ -127,29 +127,27 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("--output is required with --inputs")
             out_dir = args.output
 
+        from dedup_domains_spark.sources.sinks import write_survivor_text_files
+
         df = load_dnsbl_files(spark, inputs)
         res = dedup_dnsbl(df)
         if args.prune_regex:
             res.survivors = regex_kill(res.survivors, collect_patterns(df))
+        # distributed sink: executors write one ordered text part per feed,
+        # the driver only renames (reference streams arbitrarily large
+        # feeds, rw_pfb_csv.c:237-416 — no collect here either)
         if args.method == "c":
-            ordered = res.survivors.orderBy("file_order", "linenumber")
+            ordered = res.survivors
+            order_cols: tuple[str, ...] = ("linenumber",)
         else:
-            ordered = python_flow_survivors(res, df, method=args.method)
-
-        # fixture-scale local write; the distributed path is
-        # sinks.write_survivors_text (partitionBy text, no driver collect)
-        by_file: dict[str, list[str]] = {p: [] for p in inputs}
-        for r in ordered.select("source_file", "raw_line").collect():
-            by_file.setdefault(r.source_file, []).append(r.raw_line)
-        os.makedirs(out_dir, exist_ok=True)
-        for src, lines_ in by_file.items():
-            # reference naming: replace the final extension
-            # (pfb_prune.c outputfilename / pfb_dnsbl_prune.py:331-333)
-            base = os.path.splitext(os.path.basename(src))[0]
-            with open(os.path.join(out_dir, base + args.out_ext), "w") as f:
-                f.write("".join(l + "\n" for l in lines_))
-        print(json.dumps({"files": len(by_file),
-                          "survivors": sum(len(v) for v in by_file.values())}))
+            ordered = python_flow_survivors(
+                res, df, method=args.method, keep_order_cols=True
+            )
+            order_cols = ("_r", "_okey")
+        total = write_survivor_text_files(
+            ordered, inputs, out_dir, args.out_ext, order_cols
+        )
+        print(json.dumps({"files": len(inputs), "survivors": total}))
     return 0
 
 

@@ -107,7 +107,7 @@ def might_contain_udf(spark, bitmap: bytes, m: int, k: int):
 
 def bloom_prefilter_anti_join(
     new: DataFrame, corpus: DataFrame, key_col: str, fp_rate: float = 0.01,
-    n_items: int | None = None,
+    n_items: int | None = None, eager: bool = False,
 ) -> DataFrame:
     """Rows of ``new`` whose ``key_col`` does NOT occur in ``corpus`` —
     exact anti-join semantics, Bloom-prefiltered so only bloom-positive
@@ -118,11 +118,22 @@ def bloom_prefilter_anti_join(
     cached keys — one pass over the corpus lineage, not three. ``new`` is
     likewise persisted before the bloom split so its lineage (and the UDF)
     run once, not once per branch. Pass ``n_items`` when the corpus
-    cardinality is already known to skip the count job entirely."""
+    cardinality is already known to skip the count job entirely.
+
+    Cache lifecycle (ADVICE r02): with ``eager=True`` the result is
+    localCheckpoint-ed (lineage cut + blocks materialized) and both interim
+    caches are released before returning — use this in recurring
+    incremental-batch loops, where lazily-held caches would otherwise
+    accumulate until the ContextCleaner ran. With ``eager=False`` (lazy
+    plan returned), the caches must outlive the returned DataFrame's
+    consumption; callers should materialize the result and then release
+    them via ``result.sparkSession.catalog.clearCache()`` or by calling
+    this with ``eager=True`` instead."""
     from pyspark.storagelevel import StorageLevel
 
     spark = new.sparkSession
     keys = corpus.select(key_col).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    flagged = None
     try:
         n = n_items if n_items is not None else keys.count()
         bitmap, m, k = build_bloom(keys, key_col, n, fp_rate)
@@ -134,7 +145,14 @@ def bloom_prefilter_anti_join(
         definite_new = flagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
         candidates = flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
         survived = candidates.join(keys, key_col, "leftanti")
-        return definite_new.unionByName(survived)
+        result = definite_new.unionByName(survived)
+        if eager:
+            result = result.localCheckpoint(eager=True)
+            keys.unpersist()
+            flagged.unpersist()
+        return result
     except Exception:
         keys.unpersist()
+        if flagged is not None:
+            flagged.unpersist()
         raise

@@ -82,9 +82,7 @@ def image_features(df: DataFrame, thumb_size: int = 8) -> DataFrame:
                 bh, bw = g.shape[0] // 8, g.shape[1] // 8
                 small = g[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
                 bits = (small > small.mean()).ravel()
-                val = 0
-                for b in bits:
-                    val = (val << 1) | int(b)
+                val = int.from_bytes(np.packbits(bits).tobytes(), "big")
                 thumb = px[::max(px.shape[0] // thumb_size, 1),
                            ::max(px.shape[1] // thumb_size, 1)]
                 out.append((
@@ -140,10 +138,13 @@ def audio_features(df: DataFrame, window: int = 4000) -> DataFrame:
                 w = pcm[: nwin * window].reshape(nwin, -1)
                 rms = np.sqrt((w ** 2).mean(axis=1)) + 1e-12
                 db = (20 * np.log10(rms)).astype(np.float32)
-                delta = np.diff(db, prepend=db[:1]) > 0
-                val = 0
-                for b in delta[:64]:
-                    val = (val << 1) | int(b)
+                delta = (np.diff(db, prepend=db[:1]) > 0)[:64]
+                # packbits zero-pads the last byte's LOW bits; shift them
+                # back out so the value is bit-identical to the MSB-first
+                # shift-accumulate this replaces
+                val = int.from_bytes(
+                    np.packbits(delta).tobytes(), "big"
+                ) >> ((-len(delta)) % 8)
                 out.append((r.media_id, int(nwin), db.tolist(), f"{val:016x}"))
             yield pd.DataFrame(
                 out, columns=["media_id", "n_windows", "rms_db", "afingerprint"]

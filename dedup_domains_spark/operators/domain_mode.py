@@ -246,7 +246,8 @@ def standard_visit_keys(df: DataFrame) -> DataFrame:
 
 
 def python_flow_survivors(
-    result: DomainModeResult, df: DataFrame, method: str = "pointer"
+    result: DomainModeResult, df: DataFrame, method: str = "pointer",
+    keep_order_cols: bool = False,
 ) -> DataFrame:
     """Survivors ordered as the reference PYTHON tool writes them (vs the C
     binary's inline order that dedup_dnsbl/write_survivor_files replays):
@@ -275,6 +276,10 @@ def python_flow_survivors(
         )
     else:
         raise ValueError(f"unknown method {method!r}")
+    if keep_order_cols:
+        # distributed-sink mode: the caller sorts within per-file partitions
+        # on (_r, _okey) instead of a global orderBy (sinks.py)
+        return ordered
     return ordered.orderBy("source_file", "_r", "_okey").drop("_r", "_okey")
 
 

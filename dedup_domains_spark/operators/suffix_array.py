@@ -92,7 +92,8 @@ def sa_contains_all(data: bytes, patterns: Iterable[bytes]) -> List[bool]:
 
 
 def suffix_verify_containment(
-    candidates: DataFrame, df: DataFrame, id_col: str = "uid"
+    candidates: DataFrame, df: DataFrame, id_col: str = "uid",
+    max_fanin: int = 4096,
 ) -> DataFrame:
     """Verify candidate (small_id, big_id) pairs by true substring test using
     one suffix array per container.
@@ -102,14 +103,34 @@ def suffix_verify_containment(
     container's suffix array exactly once and checks every candidate
     containee against it. Only verified pairs survive.
 
+    Skew guard (ADVICE r02): a mega fan-in container (boilerplate carrier
+    probed by 10^5+ containees — exactly the regime this path targets) is
+    salted into ceil(fanin / max_fanin) subgroups BEFORE the content join,
+    so no single task holds an unbounded pandas frame. Each subgroup
+    rebuilds the container's suffix array — O(|big| log^2 |big|) per extra
+    subgroup, the explicit price of bounding task memory, mirroring the
+    salted-star cap in operators/buckets.py. The salt rides an ids-only
+    window; content shuffles once, already subgrouped.
+
     Equivalent semantics to operators/containment.verify_containment (plain
     scan verify) — interchangeable; this one wins when candidate fan-in per
     container is high.
     """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from dedup_domains_spark.operators.containment import join_pair_contents
 
-    j = join_pair_contents(candidates, df, id_col).select(
-        "small_id", "big_id", "_ct_s", "_ct_b"
+    bw = Window.partitionBy("big_id")
+    nsplit = F.ceil(F.count(F.lit(1)).over(bw) / F.lit(max_fanin)).cast("int")
+    salted = candidates.withColumn(
+        "_salt",
+        F.when(nsplit <= 1, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64("small_id"), nsplit).cast("int")
+        ),
+    )
+    j = join_pair_contents(salted, df, id_col).select(
+        "small_id", "big_id", "_salt", "_ct_s", "_ct_b"
     )
 
     out_schema = StructType([
@@ -140,7 +161,7 @@ def suffix_verify_containment(
         kept = pdf.loc[ok, ["small_id", "big_id"]]
         return kept.astype({"small_id": "int64", "big_id": "int64"})
 
-    return j.groupBy("big_id").applyInPandas(_verify, schema=out_schema)
+    return j.groupBy("big_id", "_salt").applyInPandas(_verify, schema=out_schema)
 
 
 def suffix_contained_pairs(

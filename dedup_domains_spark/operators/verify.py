@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from dedup_domains_spark.config import DedupConfig
-from dedup_domains_spark.functions.signatures import shingle_hashes
+from dedup_domains_spark.functions.tokenize_np import batch_shingle_segments
 
 
 def attach_minhash_estimate(
@@ -66,12 +66,17 @@ def verify_pairs_exact(
 
     @F.pandas_udf(DoubleType())
     def _jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        # whole-batch numpy shingling (one tokenizer pass per column), then
+        # per-pair sorted-array intersection — no Python int sets
+        sha, offa, cnta, _ = batch_shingle_segments(a.tolist(), cfg.shingle_k)
+        shb, offb, cntb, _ = batch_shingle_segments(b.tolist(), cfg.shingle_k)
         out = np.empty(len(a))
-        for i, (x, y) in enumerate(zip(a, b)):
-            sx = set(shingle_hashes(x or "", cfg.shingle_k).tolist())
-            sy = set(shingle_hashes(y or "", cfg.shingle_k).tolist())
-            u = len(sx | sy)
-            out[i] = (len(sx & sy) / u) if u else 1.0
+        for i in range(len(a)):
+            xa = sha[offa[i]:offa[i] + cnta[i]]
+            xb = shb[offb[i]:offb[i] + cntb[i]]
+            inter = np.intersect1d(xa, xb, assume_unique=True).size
+            u = xa.size + xb.size - inter
+            out[i] = (inter / u) if u else 1.0
         return pd.Series(out)
 
     return (

@@ -868,11 +868,85 @@ def simhash_pairs(spark, sf_dir):
     )
 
 
-@_q("code_pipeline_survivors", None, "full pipeline (rows-only)")
+# Full-pipeline survivor-set SQL twin. The pipeline run uses the
+# "oracle profile": rows_per_band=2 / bands=64 puts the LSH S-curve at
+# (1/64)^(1/2) ≈ 0.125, so a J=0.5 pair misses candidacy with probability
+# (1 - 0.5^2)^64 ≈ 1e-8 — candidate recall at the acceptance threshold is
+# effectively guaranteed — and use_exact_jaccard makes the verifier compute
+# true shingle-set Jaccard. Under that profile the pipeline's entire
+# survivor set (exact groups ∪ J≥0.5 near edges ∪ substring containment →
+# connected components → electability → lexicographic election) is
+# SQL-expressible, so one oracle row pins every stage end-to-end — the
+# distributed analog of the reference pinning exact trie survivors in its
+# scenario tests (reference src/domaintree.c:416-1000). The SHIPPED
+# geometry (r=4/b=32, estimate verify) is pinned separately by
+# minhash_lsh_pairs / pipeline_planted_recall and is what bench.py's
+# scaling block runs. Verified identical at sf0.001 / sf0.01 / sf0.1.
+_PIPELINE_TWIN_SQL = r"""
+WITH RECURSIVE
+docs AS (
+  SELECT doc_id, source AS repo, CAST(doc_id AS VARCHAR) AS path, lang, text,
+         md5(text) AS commit,
+         len(regexp_extract_all(text, '\w+|[^\w\s]')) AS ntok
+  FROM documents),
+toks AS (SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 7 THEN array_to_string(t[i:i+6], chr(31))
+              ELSE array_to_string(t, chr(31)) END AS s
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 6, 1))) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+near AS (
+  SELECT i.id_a, i.id_b
+  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ic
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1,2) i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  JOIN documents da ON da.doc_id = i.id_a
+  JOIN documents db ON db.doc_id = i.id_b
+  WHERE da.text != db.text AND i.ic * 1.0 / (sa.sz + sb.sz - i.ic) >= 0.5),
+cont AS (
+  SELECT a.doc_id AS small_id, b.doc_id AS big_id
+  FROM docs a JOIN docs b
+    ON a.doc_id != b.doc_id AND length(a.text) < length(b.text)
+   AND position(a.text IN b.text) > 0 AND a.ntok >= 32),
+exact_e AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM docs a JOIN docs b ON a.text = b.text AND a.doc_id < b.doc_id),
+edges0 AS (
+  SELECT id_a, id_b FROM near
+  UNION SELECT small_id, big_id FROM cont
+  UNION SELECT id_a, id_b FROM exact_e),
+edges AS (SELECT id_a AS src, id_b AS dst FROM edges0
+          UNION SELECT id_b, id_a FROM edges0),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON r.id = e.src),
+labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+small_texts AS (SELECT DISTINCT a.text FROM docs a JOIN docs b
+  ON a.doc_id != b.doc_id AND length(a.text) < length(b.text)
+ AND position(a.text IN b.text) > 0 AND a.ntok >= 32),
+ranked AS (
+  SELECT d.repo, d.path, d.lang, d.text, l.cluster_id,
+         row_number() OVER (
+           PARTITION BY l.cluster_id
+           ORDER BY (d.text NOT IN (SELECT text FROM small_texts)) DESC,
+                    d.repo, d.path, d.commit) AS rn
+  FROM docs d JOIN labels l USING (doc_id))
+SELECT repo, path, lang, sha256(text) AS content_sha256
+FROM ranked WHERE rn = 1
+"""
+
+
+@_q("code_pipeline_survivors", _PIPELINE_TWIN_SQL,
+    "full pipeline survivor set vs complete SQL twin (oracle profile)")
 def code_pipeline_survivors(spark, sf_dir):
     from dedup_domains_spark.plans.pipeline import run_pipeline
 
-    res = run_pipeline(spark, _docs_as_corpus(spark, sf_dir), DedupConfig())
+    cfg = DedupConfig(bands=64, rows_per_band=2, use_exact_jaccard=True)
+    res = run_pipeline(spark, _docs_as_corpus(spark, sf_dir), cfg)
     return res.survivors.select("repo", "path", "lang", "content_sha256")
 
 
@@ -1056,7 +1130,7 @@ def lineitem_cube(spark, sf_dir):
                        OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1
                   ELSE 0 END AS new_session
       FROM ordered)
-    SELECT user_id, sum(new_session) AS n_sessions
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
     FROM flagged GROUP BY user_id
     """,
     "window: sessionization by inactivity gap (beyond reference)",
@@ -1066,10 +1140,12 @@ def events_sessionize(spark, sf_dir):
     lag + gap flag + sum, the standard sessionization window pattern."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = _t(spark, sf_dir, "events").withColumn("prev_ts", F.lag("ts").over(w))
-    # events.ts is TIMESTAMP_NTZ — route through timestamp for epoch seconds
+    # events.ts is TIMESTAMP_NTZ — route through timestamp for epoch seconds;
+    # double keeps sub-second precision so the 30-min compare is exact like
+    # the oracle's INTERVAL compare (no whole-second truncation)
     gap = (
-        F.col("ts").cast("timestamp").cast("long")
-        - F.col("prev_ts").cast("timestamp").cast("long")
+        F.col("ts").cast("timestamp").cast("double")
+        - F.col("prev_ts").cast("timestamp").cast("double")
     )
     flagged = e.withColumn(
         "new_session",
@@ -1182,11 +1258,11 @@ def _docs_as_media(spark, sf_dir, with_twins: bool = False, kind: str = "image")
     )
 
 
-@_q("image_phash_features", None, "multimodal: decode→phash plumbing (rows-only)")
-def image_phash_features(spark, sf_dir):
-    from dedup_domains_spark.functions.multimodal import image_features
-
-    return image_features(_docs_as_media(spark, sf_dir)).select("media_id", "phash")
+# (The former rows-only `image_phash_features` entry is folded into
+# `image_phash_dup_pairs` below — the planted-pair oracle drives the same
+# decode→phash chain end-to-end, so a separate unoracled registry entry
+# added no verification surface; `image_features` itself stays
+# pytest-covered in tests/test_multimodal.py.)
 
 
 @_q("image_phash_dup_pairs", _PLANTED_IDENT_SQL,
@@ -1376,7 +1452,13 @@ def events_asof_orders(spark, sf_dir):
     )
     od = (
         _t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ts"))
+        # explicit date→timestamp_ntz cast (ADVICE r02): events.ts is
+        # TIMESTAMP_NTZ, so coercing the date side to NTZ midnight keeps the
+        # union timezone-free by construction — no reliance on implicit
+        # union coercion or the session timezone (which get_spark pins to
+        # UTC anyway)
+        .groupBy(F.col("o_custkey").alias("user_id"),
+                 F.col("o_orderdate").cast("timestamp_ntz").alias("ts"))
         .agg(F.max("o_orderkey").alias("order_key"))
         .select(F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
                 "order_key", F.lit(0).alias("_tag"))

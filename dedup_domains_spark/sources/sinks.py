@@ -40,6 +40,63 @@ def write_survivors_text(survivors, out_dir: str) -> None:
     )
 
 
+def write_survivor_text_files(
+    survivors,
+    inputs: list[str],
+    out_dir: str,
+    out_ext: str,
+    order_cols: tuple[str, ...] = ("linenumber",),
+) -> int:
+    """Distributed dnsbl CLI sink with reference output naming.
+
+    Executors write one ordered text part per input feed
+    (``repartition(file_order)`` + ``sortWithinPartitions`` + ``partitionBy``
+    — the write_survivors_text shape, keyed by the numeric CLI position so
+    partition directory names never need URL-decoding); the driver then only
+    RENAMES each part to ``<base><out_ext>`` (reference naming,
+    pfb_prune.c outputfilename / pfb_dnsbl_prune.py:331-333) and creates
+    empty outputs for feeds with no survivors. No row ever passes through
+    the driver. Returns the survivor line count.
+    """
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, "._dnsbl_text_tmp")
+    sel = (
+        survivors.select("file_order", *order_cols,
+                         F.col("raw_line").alias("value"))
+        .repartition("file_order")
+        .sortWithinPartitions("file_order", *order_cols)
+        .select("file_order", "value")
+    )
+    sel.write.mode("overwrite").partitionBy("file_order").text(tmp)
+
+    total = 0
+    for order, src in enumerate(inputs):
+        base = os.path.splitext(os.path.basename(src))[0]
+        dest = os.path.join(out_dir, base + out_ext)
+        part_dir = os.path.join(tmp, f"file_order={order}")
+        parts = (
+            sorted(
+                os.path.join(part_dir, f)
+                for f in os.listdir(part_dir)
+                if f.startswith("part-")
+            )
+            if os.path.isdir(part_dir)
+            else []
+        )
+        # repartition("file_order") puts a key in exactly one task, so one
+        # part per feed; the loop tolerates a multi-part layout anyway
+        with open(dest, "wb") as out:
+            for p in parts:
+                with open(p, "rb") as f:
+                    data = f.read()
+                total += data.count(b"\n")
+                out.write(data)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return total
+
+
 def write_results(
     result: PipelineResult,
     out_dir: str,

@@ -143,6 +143,31 @@ def test_suffix_verify_agrees_with_scan_verify(spark):
     assert a == b == {(1, 2), (4, 1)}
 
 
+def test_suffix_verify_mega_fanin_salted(spark):
+    """A container probed by many candidates is salted into subgroups
+    (ADVICE r02): with max_fanin far below the fan-in, results must be
+    identical to the unsalted path — every true containee kept, every
+    non-containee dropped, no duplicates."""
+    from dedup_domains_spark.operators.suffix_array import suffix_verify_containment
+
+    carrier = " ".join(f"tok{i}" for i in range(400))
+    docs = [(1000, carrier)]
+    # 60 true substrings + 60 non-substrings probing the same container
+    for i in range(60):
+        docs.append((i, " ".join(f"tok{j}" for j in range(i, i + 5))))
+        docs.append((100 + i, f"absent{i} zz qq"))
+    df = spark.createDataFrame(docs, ["uid", "content"])
+    cand = spark.createDataFrame(
+        [(i, 1000) for i in range(60)] + [(100 + i, 1000) for i in range(60)],
+        ["small_id", "big_id"],
+    )
+    got = sorted(
+        tuple(r) for r in
+        suffix_verify_containment(cand, df, max_fanin=16).collect()
+    )
+    assert got == [(i, 1000) for i in range(60)]
+
+
 # ---------------------------------------------------------------------------
 # Bloom prefilter (functions/bloom.py)
 # ---------------------------------------------------------------------------

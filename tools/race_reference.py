@@ -20,6 +20,7 @@ import glob
 import json
 import os
 import subprocess
+import sys
 import time
 
 import numpy as np
@@ -107,14 +108,26 @@ def time_spark(paths: list[str], reps: int = 2) -> float:
 
 
 def parity(n_files: int, spark_dir: str) -> bool:
+    """Compare every feed's survivor set; on divergence, print WHICH feed
+    and a small sample of the differing lines so a failed headline race is
+    diagnosable (ADVICE r02), and keep checking the remaining feeds."""
+    ok = True
     for fi in range(n_files):
         c = sorted(open(f"{OUT}/feed_{fi}.pruned", "rb").read().splitlines())
         ours: list[bytes] = []
         for part in glob.glob(f"{spark_dir}/source=feed_{fi}.fat/part-*"):
             ours.extend(open(part, "rb").read().splitlines())
-        if c != sorted(ours):
-            return False
-    return True
+        ours = sorted(ours)
+        if c != ours:
+            ok = False
+            cs, os_ = set(c), set(ours)
+            print(
+                f"PARITY MISMATCH feed_{fi}: c={len(c)} spark={len(ours)} lines; "
+                f"c-only sample={[l[:60] for l in sorted(cs - os_)[:3]]} "
+                f"spark-only sample={[l[:60] for l in sorted(os_ - cs)[:3]]}",
+                file=sys.stderr,
+            )
+    return ok
 
 
 def main() -> None:
