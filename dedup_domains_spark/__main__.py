@@ -71,6 +71,19 @@ def main(argv: list[str] | None = None) -> int:
                           "binary, pfb_prune.c:639-659); 'pointer'/'standard'"
                           " = the Python tool's regex-first orders "
                           "(pfb_dnsbl_prune.py:300-327)")
+    pd_.add_argument("--lenient-schema", action="store_true",
+                     help="C-binary schema rules instead of the strict "
+                          "Python-tool rules: <7 columns → WEAK, multi-char "
+                          "column 7 → row skipped (pfb_prune.c:132-164)")
+    pd_.add_argument("--log-file", default=None,
+                     help="write the run summary + per-stage metrics here "
+                          "(reference -L, inputargs.c:291-294)")
+    pd_.add_argument("--errlog-file", default=None,
+                     help="write one line per ignored/dropped input row "
+                          "(file, linenumber, reason) here (reference -E)")
+    pd_.add_argument("--silent", action="store_true",
+                     help="suppress stdout summary unless --log-file is set "
+                          "(reference -s / silent_mode, inputargs.c:265-270)")
     _add_spark_args(pd_)
 
     args = ap.parse_args(argv)
@@ -129,7 +142,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from dedup_domains_spark.sources.sinks import write_survivor_text_files
 
-        df = load_dnsbl_files(spark, inputs)
+        df = load_dnsbl_files(spark, inputs, lenient=args.lenient_schema)
         res = dedup_dnsbl(df)
         if args.prune_regex:
             res.survivors = regex_kill(res.survivors, collect_patterns(df))
@@ -147,7 +160,30 @@ def main(argv: list[str] | None = None) -> int:
         total = write_survivor_text_files(
             ordered, inputs, out_dir, args.out_ext, order_cols
         )
-        print(json.dumps({"files": len(inputs), "survivors": total}))
+        summary = {"files": len(inputs), "survivors": total}
+        if args.log_file or args.errlog_file:
+            # reference -L/-E telemetry: run log with per-stage counters,
+            # and one errlog line per ignored/dropped input row
+            if args.log_file:
+                metrics = {r.stage: r["count"] for r in res.metrics.collect()}
+                with open(args.log_file, "w") as f:
+                    f.write(json.dumps({**summary, "metrics": metrics}) + "\n")
+            if args.errlog_file:
+                rows = (
+                    res.dropped
+                    .select("source_file", "linenumber", "drop_reason")
+                    .orderBy("source_file", "linenumber")
+                    .collect()
+                )
+                with open(args.errlog_file, "w") as f:
+                    for r in rows:
+                        f.write(
+                            f"{r.source_file}:{r.linenumber}: {r.drop_reason}\n"
+                        )
+        # reference silent_mode (inputargs.c:265-270): -s suppresses
+        # supplemental stdout unless a log file was requested
+        if not (args.silent and not args.log_file):
+            print(json.dumps(summary))
     return 0
 
 

@@ -52,12 +52,32 @@ DNSBL_SCHEMA = StructType([
 MAX_LINE_BYTES = 2048  # reference rw_pfb_csv.c:28-32 truncation cap
 
 
-def parse_dnsbl_line(line: str) -> tuple:
+def parse_dnsbl_line(line: str, lenient: bool = False) -> tuple:
     """(domain, listname, groupname, strength, validity) for one CSV line.
 
     Driver-side twin of the Catalyst expressions in load_dnsbl_files — kept
-    for unit tests and as executable documentation of the validity rule."""
+    for unit tests and as executable documentation of the validity rule.
+    ``lenient=True`` applies the C binary's schema rules instead of the
+    strict Python-tool rules (see load_dnsbl_files)."""
     cols = line.split(",")
+    if lenient:
+        if len(cols) < 2:
+            return None, None, None, None, "bad_column_count"
+        domain = cols[1]
+        listname = cols[4] if len(cols) > 4 else None
+        groupname = cols[5] if len(cols) > 5 else None
+        if len(cols) >= 7:
+            c7 = cols[6]
+            if len(c7) != 1 or c7 not in "012":
+                return domain, listname, groupname, None, "bogus_strength"
+            strength = int(c7)
+        else:
+            strength = 0
+        if not domain:
+            return domain, listname, groupname, strength, "bad_domain"
+        if any(len(lbl.encode()) > 255 for lbl in domain.split(".")):
+            return domain, listname, groupname, strength, "label_too_long"
+        return domain, listname, groupname, strength, "ok"
     if len(cols) not in (6, 7):
         return None, None, None, None, "bad_column_count"
     domain = cols[1]
@@ -81,12 +101,26 @@ def parse_dnsbl_line(line: str) -> tuple:
     return domain, listname, groupname, strength, "ok"
 
 
-def load_dnsbl_files(spark: SparkSession, paths: list[str]) -> DataFrame:
+def load_dnsbl_files(
+    spark: SparkSession, paths: list[str], lenient: bool = False
+) -> DataFrame:
     """Read N CSV feed files (in CLI order — order defines the first-wins
     tie-break, reference src/main.c:110-134) into one dnsbl_lines DataFrame.
 
     Distributed end to end: executors scan (spark.read.text), line numbers
     come from a per-file window, and parsing/validity are pure Catalyst.
+
+    ``lenient=True`` switches the validity rule from the strict Python-tool
+    schema (default; SURVEY.md §1.2) to the C binary's
+    (reference src/pfb_prune.c:132-164 + domaintree.c:355-369):
+      * fewer than 7 columns → accepted at strength WEAK (the strict rule
+        requires exactly 6 or 7 columns);
+      * a 7th column longer than one character → MATCH_BOGUS, row skipped;
+      * one-column lines and empty domains → skipped (the C path fails
+        update_DomainView and skips the insert);
+      * a single-character 7th column outside '0'..'2' is also treated as
+        bogus here — the C binary would insert it with the raw
+        ``char - '0'`` arithmetic value; no reference fixture contains one.
     """
     # map the scan's file URI back to the caller's path + CLI position
     uri_map = [(Path(p).absolute().as_uri(), p, order)
@@ -123,13 +157,38 @@ def load_dnsbl_files(spark: SparkSession, paths: list[str]) -> DataFrame:
 
     cols = F.split(F.col("raw_line"), ",", -1)
     n = F.size(cols)
-    strength_str = F.trim(F.element_at(cols, 7))
-    strength_ok = strength_str.rlike(r"^-?[0-9]+$")
-    strength_val = F.when(strength_ok, strength_str.cast("int"))
     domain = F.element_at(cols, 2)
     label_too_long = F.exists(
         F.split(domain, r"\."), lambda lbl: F.octet_length(lbl) > 255
     )
+
+    if lenient:
+        col7 = F.element_at(cols, 7)
+        c7_ok = (F.length(col7) == 1) & col7.isin("0", "1", "2")
+        parsed = lines.select(
+            "_uri",
+            "linenumber",
+            "raw_line",
+            F.when(n >= 2, domain).alias("domain"),
+            F.when(n >= 5, F.element_at(cols, 5)).alias("listname"),
+            F.when(n >= 6, F.element_at(cols, 6)).alias("groupname"),
+            F.when((n >= 2) & (n < 7), F.lit(0))
+            .when(c7_ok, col7.cast("int"))
+            .alias("match_strength"),
+            F.when(n < 2, F.lit("bad_column_count"))
+            .when((n >= 7) & ~c7_ok, F.lit("bogus_strength"))
+            .when(domain == "", F.lit("bad_domain"))
+            .when(label_too_long, F.lit("label_too_long"))
+            .otherwise(F.lit("ok"))
+            .alias("valid"),
+        )
+        return parsed.join(F.broadcast(uri_df), "_uri").select(
+            *[f.name for f in DNSBL_SCHEMA.fields]
+        )
+
+    strength_str = F.trim(F.element_at(cols, 7))
+    strength_ok = strength_str.rlike(r"^-?[0-9]+$")
+    strength_val = F.when(strength_ok, strength_str.cast("int"))
 
     parsed = lines.select(
         "_uri",

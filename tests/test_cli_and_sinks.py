@@ -84,6 +84,47 @@ def test_cli_dnsbl_directory_mode(tmp_path):
         assert [l for l in f.read().split("\n") if l] == []
 
 
+def test_cli_dnsbl_lenient_schema_and_telemetry(tmp_path):
+    """--lenient-schema applies the C binary's column rules (<7 cols → WEAK,
+    multi-char col 7 → skipped; pfb_prune.c:132-164), and the -L/-E/-s
+    analogs write the run log / errlog and silence stdout."""
+    feed = tmp_path / "feed.fat"
+    lines = [
+        ",a.example.com,,0,list,group,1",   # normal FULL row
+        ",b.example.com,,0,list",           # 5 cols: strict=ignored, lenient=WEAK
+        ",c.example.com,,0,list,group,10",  # multi-char col7: bogus both ways
+        ",a.example.com,,0,list,group,0",   # weaker duplicate of row 1
+    ]
+    feed.write_text("\n".join(lines) + "\n")
+
+    from dedup_domains_spark.__main__ import main
+
+    out_s = tmp_path / "strict"
+    rc = main(["dnsbl", "--inputs", str(feed), "--output", str(out_s)])
+    assert rc == 0
+    strict_out = (out_s / "feed.pruned").read_text().splitlines()
+    assert strict_out == [lines[0]]
+
+    out_l = tmp_path / "lenient"
+    log = tmp_path / "run.log"
+    errlog = tmp_path / "err.log"
+    rc = main([
+        "dnsbl", "--inputs", str(feed), "--output", str(out_l),
+        "--lenient-schema", "--log-file", str(log),
+        "--errlog-file", str(errlog), "--silent",
+    ])
+    assert rc == 0
+    lenient_out = (out_l / "feed.pruned").read_text().splitlines()
+    assert lenient_out == [lines[0], lines[1]]
+
+    logged = json.loads(log.read_text())
+    assert logged["survivors"] == 2
+    assert logged["metrics"]["ignored"] == 1  # only the bogus col7 row
+    err = errlog.read_text()
+    assert f"{feed}:3: ignored:bogus_strength" in err
+    assert f"{feed}:4: exact_or_weaker_duplicate" in err
+
+
 def test_distributed_text_sink(spark, tmp_path):
     """write_survivors_text: one ordered part file per source, no driver
     collect (VERDICT r01 item 5 — the O2 scale path)."""
