@@ -482,6 +482,97 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination + sub-document chunk dedup (training-data ops)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "decontaminate_13gram",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(t) >= 13 THEN array_to_string(t[i:i+12], ' ')
+                  ELSE array_to_string(t, ' ') END AS g
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 12, 1))) AS u(i)),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+    SELECT g2.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM grams g2 JOIN bench USING (g)
+    WHERE g2.doc_id % 20 != 0
+    GROUP BY g2.doc_id
+    """,
+    "decontamination: docs sharing a 13-gram with the benchmark set",
+)
+def decontaminate_13gram(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: flag corpus docs that share
+    any 13-token n-gram with a held-out benchmark set (here: doc_id%20==0
+    as the stand-in benchmark). Scale shape: the benchmark gram set is
+    small by construction → broadcast semi-join against the corpus gram
+    explode; the corpus side never shuffles its gram mass."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(T.ngram_shingles(F.col("text"), 13)).alias("g")
+    )
+    bench = grams.filter("doc_id % 20 = 0").select("g").distinct()
+    return (
+        grams.filter("doc_id % 20 != 0")
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+@_q(
+    "chunk_dedup_stats",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, md5(array_to_string(t[(i-1)*20+1:i*20], ' ')) AS ch
+      FROM toks,
+           unnest(generate_series(
+             1, greatest(CAST(ceil(len(t) / 20.0) AS INT), 1))) AS u(i)),
+    freq AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY ch)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN freq.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks
+    FROM chunks c JOIN freq USING (ch)
+    GROUP BY c.doc_id
+    """,
+    "sub-document dedup: aligned 20-token chunk sharing across docs",
+)
+def chunk_dedup_stats(spark, sf_dir):
+    """Sub-document (chunk-level) dedup accounting — the CCNet/RefinedWeb
+    notion of removing repeated boilerplate spans, on a corpus without
+    newlines: each doc splits into aligned 20-token chunks, a chunk shared
+    by >=2 distinct docs is duplicate mass. Shuffle carries (doc_id,
+    16-byte chunk hash) only — content never moves."""
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    nch = F.greatest(
+        F.ceil(F.size(toks) / F.lit(20.0)).cast("int"), F.lit(1)
+    )
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), nch),
+                lambda i: F.md5(
+                    F.array_join(F.slice(toks, (i - 1) * 20 + 1, 20), " ")
+                ),
+            )
+        ).alias("ch"),
+    )
+    freq = chunks.groupBy("ch").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        chunks.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared_chunks"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact-substring containment pairs (D2 analog, SQL-expressible variant)
 # ---------------------------------------------------------------------------
 
