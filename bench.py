@@ -134,13 +134,19 @@ def run_headline() -> dict[str, float]:
     return times
 
 
-def _scaling_child(parallelism: int, corpus: str, n_workers: int = 0) -> None:
+def _scaling_child(parallelism: int, corpus: str, n_workers: int = 0,
+                   mode: str = "full") -> None:
     """Entry point for a scaling subprocess: time the full pipeline.
 
     n_workers > 0 runs on local-cluster[n_workers, parallelism/n_workers, …]
     — separate executor JVMs, the faithful N-vs-4N-executors stand-in
     (single-JVM local[N] thread scheduling saturates ~8 threads on this
     class of host; see BENCH.md calibration).
+
+    mode="kernel" measures the signature kernel only and skips the full
+    pipeline — used for the N-side strong leg after round 0, where the full
+    240k-row 8-core pipeline (4x the work on 1/4 the cores, ~70% of a
+    round's wall) funds only the reported-not-gated raw strong number.
     """
     from dedup_domains_spark import DedupConfig, get_spark
     from dedup_domains_spark.datagen import gen_code_corpus
@@ -186,24 +192,27 @@ def _scaling_child(parallelism: int, corpus: str, n_workers: int = 0) -> None:
         kernel_wall = min(kernel_wall, time.time() - t0)
     ident.unpersist()
 
-    # (b) full pipeline
-    t0 = time.time()
-    res = run_pipeline(spark, df, cfg)
-    res.survivors.count()
-    res.cluster_map.count()
-    wall = time.time() - t0
-    print(json.dumps({"parallelism": parallelism, "rows": n,
-                      "wall_sec": round(wall, 2),
-                      "fps": round(n / wall, 1),
-                      "kernel_sec": round(kernel_wall, 2),
-                      "kernel_fps": round(n / kernel_wall, 1)}))
+    out = {"parallelism": parallelism, "rows": n,
+           "kernel_sec": round(kernel_wall, 2),
+           "kernel_fps": round(n / kernel_wall, 1)}
+    if mode == "full":
+        # (b) full pipeline
+        t0 = time.time()
+        res = run_pipeline(spark, df, cfg)
+        res.survivors.count()
+        res.cluster_map.count()
+        wall = time.time() - t0
+        out["wall_sec"] = round(wall, 2)
+        out["fps"] = round(n / wall, 1)
+    print(json.dumps(out))
     spark.stop()
 
 
-def _one_scaling_run(par: int, corpus: str, n_workers: int) -> dict:
+def _one_scaling_run(par: int, corpus: str, n_workers: int,
+                     mode: str = "full") -> dict:
     r = subprocess.run(
         [sys.executable, __file__, "--scaling-child", str(par), corpus,
-         str(n_workers)],
+         str(n_workers), mode],
         capture_output=True, text=True, env=dict(os.environ), timeout=3600,
     )
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
@@ -216,16 +225,26 @@ def _round_summary(legs: dict, ctl: dict) -> dict:
     own host control as the normalizer. Cross-window ratios (best-of-N per
     leg, then divide) are NOT comparable on this host: the substrate swings
     3-10x between hour-scale windows (BENCH.md), so a good-window numerator
-    over a bad-window denominator measures the weather, not the engine."""
-    eff = legs["fourn"]["fps"] / (4.0 * legs["n"]["fps"])
+    over a bad-window denominator measures the weather, not the engine.
+
+    The raw strong-pipeline ratio is present only in rounds whose N-side
+    leg ran the full pipeline (round 0); the GATE metrics — weak scaling
+    and the host-normalized kernel — are complete in every round."""
     keff = legs["fourn"]["kernel_fps"] / (4.0 * legs["n"]["kernel_fps"])
     weak = legs["fourn"]["fps"] / (4.0 * legs["weak_n"]["fps"])
+    eff = (
+        legs["fourn"]["fps"] / (4.0 * legs["n"]["fps"])
+        if "fps" in legs["n"] else None
+    )
     denom = ctl["cache"]["efficiency"]
     return {
-        "efficiency": round(eff, 3),
+        "efficiency": round(eff, 3) if eff is not None else None,
         "kernel_efficiency": round(keff, 3),
         "weak_efficiency": round(weak, 3),
-        "efficiency_host_normalized": round(min(eff / denom, 1.0), 3) if denom > 0 else None,
+        "efficiency_host_normalized": (
+            round(min(eff / denom, 1.0), 3)
+            if eff is not None and denom > 0 else None
+        ),
         "kernel_efficiency_host_normalized": round(min(keff / denom, 1.0), 3) if denom > 0 else None,
         "host_control": ctl,
     }
@@ -251,11 +270,10 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
 
     corpus_rows = pq.ParquetFile(corpus).metadata.num_rows
     small_corpus = _ensure_corpus(corpus_rows // 4)
-    legs_spec = [("n", 8, corpus), ("fourn", 32, corpus),
-                 ("weak_n", 8, small_corpus)]
     t_start = time.time()
     all_rounds: list[dict] = []
     best_round: dict | None = None
+    round0_strong: dict = {}
     last_round_sec = 0.0
     for rnd in range(max(rounds, 1)):
         # predictive budget: don't START a round that would blow the budget
@@ -264,12 +282,26 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
             break
         t_round = time.time()
         legs: dict[str, dict] = {}
-        for name, par, corp in legs_spec:
-            legs[name] = _one_scaling_run(par, corp, 4)
+        legs["weak_n"] = _one_scaling_run(8, small_corpus, 4)
+        legs["fourn"] = _one_scaling_run(32, corpus, 4)
+        # the full 8-core strong-pipeline leg runs once (round 0) for the
+        # reported raw strong number; later rounds measure the N-side
+        # kernel only — every GATE metric stays complete per round at ~1/3
+        # the round cost, so more weather windows fit in the budget
+        legs["n"] = _one_scaling_run(
+            8, corpus, 4, "full" if rnd == 0 else "kernel"
+        )
         ctl = host_control(secs=8.0)
         last_round_sec = time.time() - t_round
         summary = _round_summary(legs, ctl)
         all_rounds.append(summary)
+        if rnd == 0:
+            round0_strong = {
+                "n_fps": legs["n"]["fps"],
+                "n_sec": legs["n"]["wall_sec"],
+                "efficiency": summary["efficiency"],
+                "efficiency_host_normalized": summary["efficiency_host_normalized"],
+            }
         # best round = the one whose WORST gate metric is best (both gate
         # criteria live in the same round, or it doesn't count)
         def _score(s: dict) -> float:
@@ -287,11 +319,13 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
     return {
         "rows": legs["n"]["rows"],
         "mode": "local-cluster, 4 executor JVMs x (2 vs 8) cores",
-        "n_fps": legs["n"]["fps"],
-        "n_sec": legs["n"]["wall_sec"],
+        # strong-pipeline numbers come from round 0 (the only full N-side
+        # pipeline leg); both values of that ratio are paired within round 0
+        "n_fps": round0_strong.get("n_fps"),
+        "n_sec": round0_strong.get("n_sec"),
         "fourn_fps": legs["fourn"]["fps"],
         "fourn_sec": legs["fourn"]["wall_sec"],
-        "efficiency": s["efficiency"],
+        "efficiency": round0_strong.get("efficiency"),
         "kernel_n_fps": legs["n"]["kernel_fps"],
         "kernel_fourn_fps": legs["fourn"]["kernel_fps"],
         "kernel_efficiency": s["kernel_efficiency"],
@@ -304,7 +338,7 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
         "weak_n_fps": legs["weak_n"]["fps"],
         "weak_efficiency": s["weak_efficiency"],
         "host_control": s["host_control"],
-        "efficiency_host_normalized": s["efficiency_host_normalized"],
+        "efficiency_host_normalized": round0_strong.get("efficiency_host_normalized"),
         "kernel_efficiency_host_normalized": s["kernel_efficiency_host_normalized"],
         "rounds_run": len(all_rounds),
         "all_rounds": all_rounds,
@@ -314,7 +348,8 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         workers = int(sys.argv[4]) if len(sys.argv) > 4 else 0
-        _scaling_child(int(sys.argv[2]), sys.argv[3], workers)
+        mode = sys.argv[5] if len(sys.argv) > 5 else "full"
+        _scaling_child(int(sys.argv[2]), sys.argv[3], workers, mode)
         return
 
     times = run_headline()
