@@ -74,6 +74,60 @@ _EMPTY_SIG = pd.DataFrame({
 })
 
 
+# Cache-block size for the minhash/simhash passes, in shingles. The perm
+# loop makes num_perm (128) passes over the shingle array: run whole-batch
+# (~24 MB flat for a 10k-doc Arrow batch) that is ~19 GB of DRAM traffic per
+# batch and the stage becomes memory-bandwidth-bound — cores contend on the
+# bus instead of computing (measured: 0.10 scaling efficiency at 8->32
+# procs). Blocked at 16 K shingles (128 KB + temps, L2-resident) the same
+# arithmetic runs from cache: 5.3x faster single-threaded and 0.84 scaling
+# efficiency on the same host. Bit-identical output by construction — the
+# block boundary falls only between doc segments.
+_CHUNK_SHINGLES = 16384
+
+
+def _minhash_simhash(
+    flat: np.ndarray, flat31: np.ndarray, offsets: np.ndarray,
+    counts: np.ndarray, a: np.ndarray, b: np.ndarray, num_perm: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Segmented MinHash + SimHash over doc-chunks of ~_CHUNK_SHINGLES.
+
+    MinHash: one segmented min per permutation (reduceat needs non-empty
+    segments — batch_shingle_segments guarantees counts >= 1). SimHash:
+    per-bit ones-count per doc; strided segmented sums (reduceat axis=0 /
+    cumsum axis=0) are catastrophically slow in numpy — transpose to
+    contiguous rows and run 64 cheap 1-D reduceats instead."""
+    ndocs = len(counts)
+    sig = np.empty((ndocs, num_perm), dtype=np.int64)
+    sim = np.zeros(ndocs, dtype=np.uint64)
+    ends = offsets + counts
+    d0 = 0
+    while d0 < ndocs:
+        # smallest doc range ending at/after target shingles (a single doc
+        # larger than the target forms its own chunk)
+        d1 = int(np.searchsorted(ends, offsets[d0] + _CHUNK_SHINGLES)) + 1
+        d1 = min(max(d1, d0 + 1), ndocs)
+        s0, s1 = int(offsets[d0]), int(ends[d1 - 1])
+        off_c = (offsets[d0:d1] - s0).astype(np.intp)
+        f31 = flat31[s0:s1]
+        for p in range(num_perm):
+            v = _mod_mersenne31(a[p] * f31 + b[p])
+            sig[d0:d1, p] = np.minimum.reduceat(v, off_c).astype(np.int64)
+        bytes_t = np.ascontiguousarray(flat[s0:s1].view(np.uint8).reshape(-1, 8).T)
+        bits_t = np.unpackbits(bytes_t, axis=0, bitorder="little")  # (64, n)
+        nd = d1 - d0
+        ones = np.empty((nd, 64), dtype=np.int64)
+        for bit in range(64):
+            ones[:, bit] = np.add.reduceat(bits_t[bit], off_c, dtype=np.int32)
+        simbits = (ones * 2 > counts[d0:d1, None]).astype(np.uint64)
+        sm = np.zeros(nd, dtype=np.uint64)
+        for bit in range(64):
+            sm |= simbits[:, bit] << np.uint64(bit)
+        sim[d0:d1] = sm
+        d0 = d1
+    return sig, sim.view(np.int64)
+
+
 def _batch_signatures(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
     if len(texts) == 0:  # empty Arrow batch (e.g. empty partition)
         return _EMPTY_SIG.copy()
@@ -86,26 +140,9 @@ def _batch_signatures(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
     probes: list = [None] * ndocs
 
     flat31 = flat % _P31
-    # MinHash: one segmented min per permutation (reduceat needs non-empty
-    # segments — batch_shingle_segments guarantees counts >= 1)
-    sig = np.empty((ndocs, cfg.num_perm), dtype=np.int64)
-    for p in range(cfg.num_perm):
-        v = _mod_mersenne31(a[p] * flat31 + b[p])
-        sig[:, p] = np.minimum.reduceat(v, offsets).astype(np.int64)
-
-    # SimHash: per-bit ones-count per doc. Strided segmented sums (reduceat
-    # axis=0 / cumsum axis=0) are catastrophically slow in numpy — transpose
-    # to contiguous rows and run 64 cheap 1-D reduceats instead.
-    bytes_t = np.ascontiguousarray(flat.view(np.uint8).reshape(-1, 8).T)
-    bits_t = np.unpackbits(bytes_t, axis=0, bitorder="little")  # (64, N) rows
-    ones = np.empty((ndocs, 64), dtype=np.int64)
-    for bit in range(64):
-        ones[:, bit] = np.add.reduceat(bits_t[bit], offsets, dtype=np.int32)
-    simbits = (ones * 2 > counts[:, None]).astype(np.uint64)
-    sim = np.zeros(ndocs, dtype=np.uint64)
-    for bit in range(64):
-        sim |= simbits[:, bit] << np.uint64(bit)
-    simhashes = sim.view(np.int64)
+    sig, simhashes = _minhash_simhash(
+        flat, flat31, offsets, counts, a, b, cfg.num_perm
+    )
 
     signed = flat.view(np.int64)
     s = cfg.containment_probe_shingles
