@@ -190,7 +190,16 @@ def _scaling_child(parallelism: int, corpus: str, n_workers: int = 0,
     # size, and the shared host adds ±30-45% run-to-run noise.
     out = {"parallelism": parallelism, "rows": n}
     if mode != "pipeline":
-        ident = with_row_identity(df).select("uid", "content").cache()
+        # fan out ONCE before caching: the parquet scan yields only a
+        # handful of partitions at this corpus size, and repartitioning
+        # inside every timed rep would re-shuffle the full content column
+        # each time — the reps would measure tmpfs shuffle bandwidth, not
+        # the signature stage (add_signatures skips its own fan-out when
+        # the input already carries enough partitions)
+        ident = (
+            with_row_identity(df).select("uid", "content")
+            .repartition(parallelism * 2).cache()
+        )
         ident.count()
         sig = add_signatures(ident, cfg)
         kernel_wall = float("inf")

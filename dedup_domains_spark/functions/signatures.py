@@ -163,15 +163,23 @@ def _batch_signatures(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
 def add_signatures(df: DataFrame, cfg: DedupConfig, repartition: int | None = None) -> DataFrame:
     """Attach (n_tokens, n_shingles, minhash, simhash, probes).
 
-    Repartitions before the UDF: upstream AQE tends to coalesce the small
-    (uid, content) projection into a handful of partitions, which would
-    serialize the CPU-heavy signature computation onto a few cores. Explicit
-    fan-out to cluster parallelism is the right call at every scale — this
-    stage is compute-bound, not shuffle-bound.
+    Fans out before the UDF when the input is under-partitioned: a narrow
+    parquet scan or an AQE-coalesced projection can arrive in a handful of
+    partitions, which would serialize the CPU-heavy signature computation
+    onto a few cores. But when upstream already carries >= cluster
+    parallelism partitions (the usual case — the exact-dedup rep stage is a
+    shuffle output with `shuffle_partitions` partitions), repartitioning
+    again would re-shuffle the FULL content column for nothing; content is
+    the widest column in the pipeline and that shuffle was ~a third of this
+    stage's wall. Pass `repartition` explicitly to force a specific fan-out.
     """
-    if repartition is None:
-        repartition = df.sparkSession.sparkContext.defaultParallelism * 2
-    df = df.repartition(repartition)
+    if repartition is not None:
+        df = df.repartition(repartition)
+    else:
+        target = df.sparkSession.sparkContext.defaultParallelism * 2
+        # partition count is known from the physical plan without running it
+        if df.rdd.getNumPartitions() < max(target // 2, 1):
+            df = df.repartition(target)
 
     @F.pandas_udf(SIGNATURE_STRUCT)
     def _sig(texts: pd.Series) -> pd.DataFrame:

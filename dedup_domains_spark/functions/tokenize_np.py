@@ -94,6 +94,18 @@ def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     return th, doc_of
 
 
+# Docs per tokenizer sub-batch. Whole-batch passes over a 10k-doc Arrow
+# batch stream ~3M tokens: the first8/last8 gather index matrices alone are
+# (n_tokens, 8) int64 (~190 MB), every mask/shingle pass moves 24 MB, and
+# the final lexsort is DRAM-random — the stage becomes memory-bandwidth-
+# bound and cores contend on the bus (same failure mode the minhash loop
+# had, signatures._CHUNK_SHINGLES). At 128 docs (~40K tokens) every temp is
+# a few hundred KB and the whole tokenize->shingle->sort path runs
+# L2/L3-resident. Output is bit-identical: no token or shingle window ever
+# crosses a document boundary, so per-chunk results concatenate exactly.
+_CHUNK_DOCS = 128
+
+
 def batch_shingle_segments(
     texts, k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -103,8 +115,28 @@ def batch_shingle_segments(
     Each doc's segment shingles[offsets[i]:offsets[i]+counts[i]] is sorted
     ascending (unsigned). Docs with fewer than k tokens get one fallback
     shingle (polynomial over all their tokens; empty doc -> splitmix(0)),
-    so exact duplicates always co-bucket.
+    so exact duplicates always co-bucket. Large batches are processed in
+    cache-resident sub-batches of _CHUNK_DOCS docs (see note above).
     """
+    ndocs = len(texts)
+    if ndocs > _CHUNK_DOCS:
+        if not isinstance(texts, list):
+            texts = list(texts)
+        parts = [
+            _shingle_segments_impl(texts[i:i + _CHUNK_DOCS], k)
+            for i in range(0, ndocs, _CHUNK_DOCS)
+        ]
+        sh = np.concatenate([p[0] for p in parts])
+        counts = np.concatenate([p[2] for p in parts])
+        n_tokens = np.concatenate([p[3] for p in parts])
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        return sh, offsets, counts, n_tokens
+    return _shingle_segments_impl(texts, k)
+
+
+def _shingle_segments_impl(
+    texts, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     ndocs = len(texts)
     if ndocs == 0:
         e64, ei = np.empty(0, np.uint64), np.empty(0, np.int64)
