@@ -118,7 +118,15 @@ def _ensure_corpus(rows: int = BENCH_ROWS) -> str:
     if not os.path.exists(cache):
         from dedup_domains_spark.datagen import gen_code_corpus
 
-        gen_code_corpus(rows, avg_tokens=300).files.to_parquet(cache)
+        # row_group_size matters: pandas' default writes ONE row group, and
+        # Spark derives scan splits from row-group offsets — a single-group
+        # file collapses every "split" but one to empty, so the scan (and
+        # everything map-side above it: identity, sha256) runs on ONE core
+        # no matter the cluster size. 8k-row groups ≈ 16 MB — the layout a
+        # real table writer produces.
+        gen_code_corpus(rows, avg_tokens=300).files.to_parquet(
+            cache, row_group_size=8192
+        )
     return cache
 
 
@@ -201,7 +209,7 @@ def _scaling_child(parallelism: int, corpus: str, n_workers: int = 0,
             .repartition(parallelism * 2).cache()
         )
         ident.count()
-        sig = add_signatures(ident, cfg)
+        sig = add_signatures(ident, cfg, repartition=0)
         kernel_wall = float("inf")
         # rep 1 carries python-worker/page-cache warm-up at this corpus
         # size; take best of the remaining reps. The 8-core side gets one

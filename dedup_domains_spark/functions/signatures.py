@@ -160,30 +160,91 @@ def _batch_signatures(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
     })
 
 
+def _segment_take_indices(
+    offsets: np.ndarray, take: np.ndarray
+) -> np.ndarray:
+    """Flat gather indices selecting the first take[i] elements of each
+    segment starting at offsets[i] — vectorized per-doc head-slice."""
+    total = int(take.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(take)
+    within = np.arange(total, dtype=np.int64) - np.repeat(ends - take, take)
+    return np.repeat(offsets.astype(np.int64), take) + within
+
+
+def _batch_signatures_arrow(arr, cfg: DedupConfig):
+    """Arrow-native signature batch: pyarrow string Array in, pyarrow
+    StructArray out. Zero-copy on BOTH sides — the tokenizer reads the
+    Arrow UTF-8 buffer directly (no Python str materialization, no
+    re-encode) and minhash/probes are emitted as ListArrays built from the
+    flat numpy outputs (no per-row list building, no pandas assembly).
+    Hash-identical to _batch_signatures: both tokenize the same bytes."""
+    import pyarrow as pa
+
+    from dedup_domains_spark.functions.tokenize_np import (
+        batch_shingle_segments_arrow,
+    )
+
+    ndocs = len(arr)
+    a, b = _perm_params(cfg)
+    flat, offsets, counts, n_tokens = batch_shingle_segments_arrow(
+        arr, cfg.shingle_k
+    )
+    if ndocs == 0:
+        sig = np.empty((0, cfg.num_perm), dtype=np.int64)
+        simhashes = np.empty(0, dtype=np.int64)
+    else:
+        flat31 = flat % _P31
+        sig, simhashes = _minhash_simhash(
+            flat, flat31, offsets, counts, a, b, cfg.num_perm
+        )
+    mh = pa.ListArray.from_arrays(
+        pa.array(np.arange(ndocs + 1, dtype=np.int32) * cfg.num_perm),
+        pa.array(sig.ravel(), type=pa.int64()),
+    )
+    take = np.minimum(counts, cfg.containment_probe_shingles)
+    probe_vals = flat.view(np.int64)[_segment_take_indices(offsets, take)]
+    probes = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(take))).astype(np.int32)),
+        pa.array(probe_vals, type=pa.int64()),
+    )
+    return pa.StructArray.from_arrays(
+        [
+            pa.array(n_tokens.astype(np.int32)),
+            pa.array(counts.astype(np.int32)),
+            mh,
+            pa.array(simhashes, type=pa.int64()),
+            probes,
+        ],
+        names=["n_tokens", "n_shingles", "minhash", "simhash", "probes"],
+    )
+
+
 def add_signatures(df: DataFrame, cfg: DedupConfig, repartition: int | None = None) -> DataFrame:
     """Attach (n_tokens, n_shingles, minhash, simhash, probes).
 
-    Fans out before the UDF when the input is under-partitioned: a narrow
-    parquet scan or an AQE-coalesced projection can arrive in a handful of
-    partitions, which would serialize the CPU-heavy signature computation
-    onto a few cores. But when upstream already carries >= cluster
-    parallelism partitions (the usual case — the exact-dedup rep stage is a
-    shuffle output with `shuffle_partitions` partitions), repartitioning
-    again would re-shuffle the FULL content column for nothing; content is
-    the widest column in the pipeline and that shuffle was ~a third of this
-    stage's wall. Pass `repartition` explicitly to force a specific fan-out.
+    Repartitions before the UDF by default: upstream can arrive arbitrarily
+    unbalanced — AQE coalesces small projections, and a parquet scan of a
+    few large row groups yields mostly-EMPTY splits (a single-row-group
+    file puts every row in one partition while getNumPartitions() still
+    reports the split count, so partition COUNT is not a balance signal —
+    measured: the signature stage ran 6x slower on one fat cached
+    partition). Pass ``repartition=0`` to skip the exchange ONLY when the
+    caller guarantees balanced input (e.g. it just repartitioned and cached
+    the projection itself — the pipeline and the bench kernel leg do); any
+    other int forces that exact fan-out.
     """
-    if repartition is not None:
+    if repartition is None:
+        repartition = df.sparkSession.sparkContext.defaultParallelism * 2
+    if repartition:
         df = df.repartition(repartition)
-    else:
-        target = df.sparkSession.sparkContext.defaultParallelism * 2
-        # partition count is known from the physical plan without running it
-        if df.rdd.getNumPartitions() < max(target // 2, 1):
-            df = df.repartition(target)
 
-    @F.pandas_udf(SIGNATURE_STRUCT)
-    def _sig(texts: pd.Series) -> pd.DataFrame:
-        return _batch_signatures(texts, cfg)
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf(SIGNATURE_STRUCT)
+    def _sig(texts):
+        return _batch_signatures_arrow(texts, cfg)
 
     return (
         df.withColumn("_sig", _sig(F.col("content")))
@@ -202,27 +263,39 @@ def explode_shingles_udf(cfg: DedupConfig, keep_only: np.ndarray | None = None):
     posting mass executor-side before any shuffle. The array ships in the
     UDF closure — valid exactly in the broadcast-probes regime where the
     probe set is driver-sized by definition."""
+    from pyspark.sql.functions import arrow_udf
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _sh(texts: pd.Series) -> pd.Series:
-        flat, offsets, counts, _ = batch_shingle_segments(
-            texts.tolist(), cfg.shingle_k
+    @arrow_udf(ArrayType(LongType()))
+    def _sh(texts):
+        import pyarrow as pa
+
+        from dedup_domains_spark.functions.tokenize_np import (
+            batch_shingle_segments_arrow,
+        )
+
+        flat, offsets, counts, _ = batch_shingle_segments_arrow(
+            texts, cfg.shingle_k
         )
         signed = flat.view(np.int64)
-        if keep_only is None:
-            return pd.Series(
-                [signed[offsets[i]:offsets[i] + counts[i]] for i in range(len(counts))]
+        if keep_only is None or len(keep_only) == 0:
+            if keep_only is not None:
+                signed = signed[:0]
+                counts = np.zeros_like(counts)
+            out_off = np.concatenate(([0], np.cumsum(counts)))
+        else:
+            # membership via searchsorted on the sorted filter (whole-batch)
+            pos = np.searchsorted(keep_only, signed)
+            pos[pos >= len(keep_only)] = 0
+            hit = keep_only[pos] == signed
+            kept = (
+                np.add.reduceat(hit, offsets) if len(signed) else
+                np.zeros(len(counts), dtype=np.int64)
             )
-        if len(keep_only) == 0:
-            return pd.Series([signed[:0]] * len(counts))
-        # membership via searchsorted on the sorted filter (whole-batch)
-        pos = np.searchsorted(keep_only, signed)
-        pos[pos >= len(keep_only)] = 0
-        hit = keep_only[pos] == signed
-        out = []
-        for i in range(len(counts)):
-            seg = slice(offsets[i], offsets[i] + counts[i])
-            out.append(signed[seg][hit[seg]])
-        return pd.Series(out)
+            out_off = np.concatenate(([0], np.cumsum(kept)))
+            signed = signed[hit]
+        return pa.ListArray.from_arrays(
+            pa.array(out_off.astype(np.int32)),
+            pa.array(signed, type=pa.int64()),
+        )
 
     return _sh

@@ -62,7 +62,39 @@ def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
         pos += len(b) + 1  # +1 for the space separator
     joined = b" ".join(bufs) + b" "
     arr = np.frombuffer(joined, dtype=np.uint8)
+    return _token_hashes_joined(arr, doc_starts)
 
+
+_SEP = np.frombuffer(b" ", dtype=np.uint8)
+
+
+def _token_hashes_from_buffer(
+    data: np.ndarray, off: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Same contract as batch_token_hashes, but consuming an Arrow string
+    buffer directly: ``data`` is the raw UTF-8 byte buffer, ``off`` the
+    (ndocs+1) absolute value offsets into it. Builds the space-joined batch
+    with ndocs C-level slice copies — NO Python str objects, no re-encode
+    (the Arrow path's whole point; the str round trip was ~2 allocations +
+    a decode + an encode per document)."""
+    ndocs = len(off) - 1
+    parts = []
+    for i in range(ndocs):
+        parts.append(data[off[i]:off[i + 1]])
+        parts.append(_SEP)
+    joined = np.concatenate(parts) if parts else _SEP.copy()
+    doc_starts = (
+        off.astype(np.int64) - int(off[0])
+        + np.arange(ndocs + 1, dtype=np.int64)
+    )[:-1]
+    return _token_hashes_joined(joined, doc_starts)
+
+
+def _token_hashes_joined(
+    arr: np.ndarray, doc_starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Core tokenizer: ``arr`` = space-joined batch bytes (one trailing
+    separator after every doc), ``doc_starts`` = start position per doc."""
     wm = _WORD[arr]
     prev = np.empty_like(wm); prev[0] = False; prev[1:] = wm[:-1]
     nxt = np.empty_like(wm); nxt[-1] = False; nxt[:-1] = wm[1:]
@@ -134,6 +166,45 @@ def batch_shingle_segments(
     return _shingle_segments_impl(texts, k)
 
 
+def batch_shingle_segments_arrow(
+    arr, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow-native twin of batch_shingle_segments: consumes a pyarrow
+    string Array zero-copy (offsets + raw UTF-8 data buffer), never
+    materializing Python str objects. Same output contract, bit-identical
+    hashes (both paths tokenize the same UTF-8 bytes); same cache-resident
+    _CHUNK_DOCS sub-batching."""
+    import pyarrow as pa
+
+    ndocs = len(arr)
+    if ndocs == 0:
+        e64, ei = np.empty(0, np.uint64), np.empty(0, np.int64)
+        return e64, ei, ei.copy(), ei.copy()
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        arr = pc.fill_null(arr, "")
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], odt)[arr.offset: arr.offset + ndocs + 1]
+    data = (
+        np.frombuffer(bufs[2], np.uint8)
+        if bufs[2] is not None else np.empty(0, np.uint8)
+    )
+    parts = []
+    for c0 in range(0, ndocs, _CHUNK_DOCS):
+        c1 = min(c0 + _CHUNK_DOCS, ndocs)
+        th, doc_of = _token_hashes_from_buffer(data, off[c0:c1 + 1])
+        parts.append(_shingle_segments_from_tokens(th, doc_of, c1 - c0, k))
+    if len(parts) == 1:
+        return parts[0]
+    sh = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[2] for p in parts])
+    n_tokens = np.concatenate([p[3] for p in parts])
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return sh, offsets, counts, n_tokens
+
+
 def _shingle_segments_impl(
     texts, k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -142,6 +213,12 @@ def _shingle_segments_impl(
         e64, ei = np.empty(0, np.uint64), np.empty(0, np.int64)
         return e64, ei, ei.copy(), ei.copy()
     th, doc_of = batch_token_hashes(texts)
+    return _shingle_segments_from_tokens(th, doc_of, ndocs, k)
+
+
+def _shingle_segments_from_tokens(
+    th: np.ndarray, doc_of: np.ndarray, ndocs: int, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     n_tokens = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
 
     T = len(th)

@@ -36,7 +36,7 @@ from dedup_domains_spark.functions.signatures import explode_shingles_udf
 
 def containment_candidates(
     df: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid",
-    broadcast_probes: bool = True,
+    broadcast_probes: bool = True, repartition: int | None = None,
 ) -> DataFrame:
     """Candidate (containee, container) pairs: every probe of the containee
     appears in the container's shingle set and the container is larger.
@@ -55,8 +55,14 @@ def containment_candidates(
     """
     # explicit fan-out before the tokenizing UDF — same rationale as
     # signatures.add_signatures: AQE would coalesce the small projection and
-    # serialize the compute-bound stage onto a few cores
-    fanout = df.sparkSession.sparkContext.defaultParallelism * 2
+    # serialize the compute-bound stage onto a few cores. Pass
+    # ``repartition=0`` when the caller guarantees balanced input (the
+    # pipeline's exact_reps cache is repartitioned at creation) — that
+    # skips a second full-content shuffle here.
+    fanout = (
+        df.sparkSession.sparkContext.defaultParallelism * 2
+        if repartition is None else repartition
+    )
 
     # In the broadcast-probes regime the distinct probe-shingle set is by
     # definition driver-sized (it gets broadcast anyway) — push it INTO the
@@ -77,7 +83,10 @@ def containment_candidates(
         )
         probe_filter = np.sort(probe_rows["s"].to_numpy(dtype=np.int64))
 
-    postings = df.select(id_col, "content").repartition(fanout).select(
+    src = df.select(id_col, "content")
+    if fanout:
+        src = src.repartition(fanout)
+    postings = src.select(
         F.col(id_col).alias("big_id"),
         F.explode(
             explode_shingles_udf(cfg, keep_only=probe_filter)(F.col("content"))
@@ -168,11 +177,13 @@ def verify_containment(
 
 
 def contained_pairs(
-    df: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid"
+    df: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid",
+    repartition: int | None = None,
 ) -> DataFrame:
     """(small_id, big_id) verified exact-substring containment pairs."""
     cand = containment_candidates(
         df, sig_df, cfg, id_col,
         broadcast_probes=cfg.containment_broadcast_probes,
+        repartition=repartition,
     )
     return verify_containment(cand, df, id_col)

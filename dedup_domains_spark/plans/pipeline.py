@@ -105,13 +105,19 @@ def run_pipeline(
     # ---- D1: exact dedup on content_sha256 ----
     exact = exact_dedup(dedupable)
     exact_map = ckpt.stage(exact.cluster_map, "exact_map").cache()
+    # repartition BEFORE caching: the semi-join is usually a broadcast join,
+    # which preserves the scan's partitioning — and a scan over few/large
+    # row groups is arbitrarily unbalanced (a single-row-group file = ONE
+    # fat partition). Every content consumer (signature UDF, exact verify,
+    # containment) reads this cache, so balance it once here and the full
+    # content column shuffles exactly once in the whole pipeline.
     exact_reps = dedupable.join(
         exact_map.filter("is_rep").select("uid"), "uid", "leftsemi"
-    ).cache()
+    ).repartition(spark.sparkContext.defaultParallelism * 2).cache()
 
     # ---- signatures on exact representatives only ----
     sig_df = add_signatures(
-        exact_reps.select("uid", "content"), cfg
+        exact_reps.select("uid", "content"), cfg, repartition=0
     ).select("uid", "n_tokens", "n_shingles", "minhash", "simhash", "probes")
     sig_df = ckpt.stage(sig_df, "signatures").cache()
     # eager: four consumers fan out from sig_df (bands, blocks, verify twice,
@@ -135,7 +141,9 @@ def run_pipeline(
 
         contained = suffix_contained_pairs(exact_reps, sig_df, cfg)
     else:
-        contained = contained_pairs(exact_reps, sig_df, cfg)
+        # repartition=0: exact_reps is already balanced (repartitioned at
+        # creation above) — skip the operator's defensive content shuffle
+        contained = contained_pairs(exact_reps, sig_df, cfg, repartition=0)
     contained = ckpt.stage(contained, "contained_pairs").cache()
 
     # ---- edge union: near + containment + exact-dup membership ----
