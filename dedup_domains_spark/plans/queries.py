@@ -573,6 +573,209 @@ def chunk_dedup_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Repo-level near-dup + line-boilerplate scrub + stratified sampling
+# (training-data curation ops above document granularity)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "repo_file_jaccard",
+    """
+    WITH base AS (SELECT source AS repo, md5(text) AS fh FROM documents),
+    fork AS (
+      SELECT source || '__fork' AS repo, md5(text) AS fh
+      FROM documents WHERE doc_id % 10 != 0
+      UNION ALL
+      SELECT DISTINCT source || '__fork', md5('forkfile-' || source)
+      FROM documents),
+    files AS (
+      SELECT DISTINCT repo, fh
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM fork)),
+    freq AS (SELECT fh, count(*) AS nr FROM files GROUP BY fh),
+    keep AS (SELECT f.repo, f.fh FROM files f JOIN freq USING (fh)
+             WHERE nr <= 100),
+    sizes AS (SELECT repo, count(*) AS n FROM keep GROUP BY repo),
+    shared AS (
+      SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS n_shared
+      FROM keep a JOIN keep b ON a.fh = b.fh AND a.repo < b.repo
+      GROUP BY 1, 2)
+    SELECT repo_a, repo_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.repo = shared.repo_a
+    JOIN sizes sb ON sb.repo = shared.repo_b
+    WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.5
+    """,
+    "repo-level near-dup: exact file-hash-set Jaccard between repos",
+)
+def repo_file_jaccard(spark, sf_dir):
+    """Repo-granularity near-duplicate detection (the BigCode/The-Stack
+    fork-collapse step): two repos are near-dups when the Jaccard of their
+    file-content-hash SETS >= 0.5. Planted truth: each `source` gets a
+    `__fork` twin holding 90% of its files verbatim plus one new file
+    (J ~= 0.88), so every source must pair with exactly its fork.
+
+    Scale shape: files reduce to (repo, 16-byte hash) before anything
+    joins — content never shuffles; a document-frequency cap (hash in
+    > 100 repos = vendored boilerplate, e.g. a LICENSE file in half of
+    GitHub) bounds the pair-explosion of the hash self-join exactly like
+    the containment df-cap; sizes join on repo keys only. No broadcast of
+    the repo list is assumed — at 10^8 repos both joins are plain
+    shuffle-hash joins on ids."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(F.col("source").alias("repo"), F.md5("text").alias("fh"))
+    fork = docs.filter("doc_id % 10 != 0").select(
+        F.concat("source", F.lit("__fork")).alias("repo"),
+        F.md5("text").alias("fh"),
+    ).unionByName(
+        docs.select("source").distinct().select(
+            F.concat("source", F.lit("__fork")).alias("repo"),
+            F.md5(F.concat(F.lit("forkfile-"), F.col("source"))).alias("fh"),
+        )
+    )
+    files = base.unionByName(fork).distinct()
+    freq = files.groupBy("fh").agg(F.count(F.lit(1)).alias("nr"))
+    keep = files.join(freq.filter("nr <= 100"), "fh").select("repo", "fh")
+    sizes = keep.groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
+    a = keep.select(F.col("repo").alias("repo_a"), "fh")
+    b = keep.select(F.col("repo").alias("repo_b"), "fh")
+    shared = (
+        a.join(b, "fh")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("repo").alias("repo_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col("repo").alias("repo_b"), F.col("n").alias("_nb"))
+    jac = F.col("n_shared") / (F.col("_na") + F.col("_nb") - F.col("n_shared"))
+    return (
+        shared.join(sa, "repo_a").join(sb, "repo_b")
+        .filter(jac >= 0.5)
+        .select(
+            "repo_a", "repo_b", "n_shared", F.round(jac, 4).alias("jaccard")
+        )
+    )
+
+
+@_q(
+    "line_boilerplate_scrub",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             text || chr(10) || 'unique ' || doc_id
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) ||
+                            'Licensed under the Apache License Version 2'
+                       ELSE '' END AS content
+      FROM documents),
+    l AS (SELECT doc_id, string_split(content, chr(10)) AS arr FROM docs),
+    lines AS (SELECT doc_id, unnest(arr) AS line,
+                     generate_subscripts(arr, 1) AS pos FROM l),
+    freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN nd >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(string_agg(CASE WHEN nd < 10 THEN line END, chr(10)
+                          ORDER BY pos)) AS cleaned_md5
+    FROM lines JOIN freq USING (line)
+    GROUP BY doc_id
+    """,
+    "line-level boilerplate scrub (C4/CCNet corpus-frequency line dedup)",
+)
+def line_boilerplate_scrub(spark, sf_dir):
+    """C4/CCNet-style line-level dedup: a line appearing in >= 10 distinct
+    documents across the corpus is boilerplate and is scrubbed from every
+    document; the cleaned content (remaining lines, original order) is
+    pinned by md5. Planted truth: every doc gets a unique line (never
+    scrubbed) and every third doc a shared license line (df ~ n/3, always
+    scrubbed above 30 docs).
+
+    Scale shape: the document-frequency count groups by a 16-byte line
+    hash, not the line text, so the wide content column shuffles exactly
+    once (the posexplode); the flagged-line set is tiny by definition
+    (boilerplate = few distinct values) and broadcasts back as the scrub
+    filter. Reassembly is a per-doc sort of (pos, line) structs — no
+    window, one aggregation."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"), F.lit("unique "), F.col("doc_id"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nLicensed under the Apache License Version 2"),
+            ).otherwise(F.lit("")),
+        ).alias("content"),
+    )
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split("content", "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5("line"))
+    flagged = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter("nd >= 10")
+        .select("lh")
+    )
+    marked = lines.join(
+        F.broadcast(flagged.withColumn("_rm", F.lit(True))), "lh", "left"
+    ).withColumn("_rm", F.coalesce("_rm", F.lit(False)))
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("_rm"), F.struct("pos", "line"))
+        )
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_rm").cast("long")).alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(kept_sorted, lambda s: s["line"]), "\n"
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+@_q(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 1000 AS BIGINT) AS bucket
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 1000
+          < CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 600 ELSE 900 END
+    """,
+    "corpus curation: deterministic per-language stratified hash sampling",
+)
+def stratified_sample(spark, sf_dir):
+    """Training-mix curation: down-sample each language to a target rate
+    with a DETERMINISTIC hash sampler (md5 of the stable doc key -> uniform
+    per-mille bucket), so the sample is reproducible across runs, resumable
+    mid-job, and consistent between engines — the property rand()-based
+    sampling lacks. en keeps 30%, zh 60%, the rest 90%.
+
+    Scale shape: a pure map-side filter — no shuffle, no state, prunes at
+    the scan; the quota map is a literal CASE (at 10^12 rows the sampler is
+    I/O-bound, exactly as it should be)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000
+    )
+    quota = (
+        F.when(F.col("lang") == "en", 300)
+        .when(F.col("lang") == "zh", 600)
+        .otherwise(900)
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < quota)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact-substring containment pairs (D2 analog, SQL-expressible variant)
 # ---------------------------------------------------------------------------
 
