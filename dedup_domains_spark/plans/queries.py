@@ -775,6 +775,94 @@ def stratified_sample(spark, sf_dir):
     )
 
 
+@_q(
+    "exact_substr_spans",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, 'quoted ' || doc_id || ' ' || text
+      FROM documents WHERE doc_id % 7 = 0),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    wins AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(t[u.i:u.i+19], ' ')) AS wh
+      FROM toks, unnest(generate_series(1, len(t) - 19)) AS u(i)
+      WHERE len(t) >= 20),
+    freq AS (SELECT wh FROM wins GROUP BY wh
+             HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN freq USING (wh)),
+    cover AS (
+      SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS tp
+      FROM dup, unnest(generate_series(pos, pos + 19)) AS u(p))
+    SELECT toks.doc_id,
+           CAST(len(toks.t) AS BIGINT) AS n_tokens,
+           CAST(count(cover.tp) AS BIGINT) AS covered_tokens,
+           round(count(cover.tp) * 1.0 / len(toks.t), 4) AS dup_fraction
+    FROM toks LEFT JOIN cover ON toks.doc_id = cover.doc_id
+    GROUP BY toks.doc_id, len(toks.t)
+    HAVING count(cover.tp) > 0
+    """,
+    "exact-substring span dedup: arbitrary-offset repeated 20-token windows",
+)
+def exact_substr_spans(spark, sf_dir):
+    """Lee et al. (2022) ExactSubstr analog: token positions covered by any
+    20-token window that occurs verbatim in >= 2 distinct documents are
+    duplicate mass — at ARBITRARY offsets, unlike chunk_dedup_stats'
+    aligned chunks, so a shifted copy is still caught. Planted truth: every
+    7th doc gets a 'quoted' twin embedding its full text at offset 2, so
+    every window of the original is shared with its quote.
+
+    Scale shape: windows reduce to (doc_id, pos, 16-byte hash) before the
+    frequency shuffle — content never moves past tokenization; the repeated-
+    window set joins back on the hash (a plain shuffle equi-join — at corpus
+    scale the dup-window set is NOT broadcastable); coverage is a 20x
+    explode of dup windows only, then one distinct-count."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter("doc_id % 7 = 0").select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("quoted "), F.col("doc_id"), F.lit(" "), F.col("text")
+            ).alias("text"),
+        )
+    )
+    toks = corpus.select("doc_id", F.split("text", " ").alias("t"))
+    nt = F.size("t")
+    wins = toks.filter(nt >= 20).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), nt - 19),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.array_join(F.slice(F.col("t"), i, 20), " ")).alias("wh"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.pos", "w.wh")
+    freq = wins.groupBy("wh").agg(
+        F.countDistinct("doc_id").alias("nd")
+    ).filter("nd >= 2").select("wh")
+    dup = wins.join(freq, "wh").select("doc_id", "pos")
+    cover = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 19)).alias("tp")
+    ).distinct()
+    return (
+        toks.select("doc_id", nt.cast("long").alias("n_tokens"))
+        .join(cover, "doc_id")
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+        .select(
+            "doc_id", "n_tokens",
+            F.col("covered_tokens").cast("long").alias("covered_tokens"),
+            F.round(F.col("covered_tokens") / F.col("n_tokens"), 4).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring containment pairs (D2 analog, SQL-expressible variant)
 # ---------------------------------------------------------------------------

@@ -139,3 +139,33 @@ def test_quality_metrics_have_no_shuffle(spark):
     for name in ("repetition_quality", "pii_scrub"):
         plan = _formatted(QUERIES[name].spark_fn(spark, SF))
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_stratified_sample_is_map_side_only(spark):
+    """The deterministic sampler is a pure filter: zero Exchange — at
+    10^12 rows it must run at scan speed."""
+    from dedup_domains_spark.plans.queries import QUERIES
+
+    plan = _formatted(QUERIES["stratified_sample"].spark_fn(spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_repo_jaccard_no_cartesian(spark):
+    """Repo-level Jaccard must stay an equi-join on the file hash — never a
+    cartesian over the repo list (which is NOT broadcastable at 10^8 repos)."""
+    from dedup_domains_spark.plans.queries import QUERIES
+
+    plan = _formatted(QUERIES["repo_file_jaccard"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_line_scrub_flagged_set_broadcasts(spark):
+    """The boilerplate-line scrub must broadcast the (tiny by definition)
+    flagged-hash set back to the exploded lines — the wide line column must
+    not shuffle a second time for the scrub join."""
+    from dedup_domains_spark.plans.queries import QUERIES
+
+    plan = _formatted(QUERIES["line_boilerplate_scrub"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
