@@ -863,6 +863,110 @@ def exact_substr_spans(spark, sf_dir):
     )
 
 
+@_q(
+    "incremental_near_dup",
+    """
+    WITH old AS (SELECT doc_id AS uid, text AS content FROM documents),
+    newb AS (
+      SELECT doc_id + 3000000 AS uid, text || ' zz9end' AS content
+      FROM documents WHERE doc_id % 10 = 0 AND n_chars >= 100
+      UNION ALL
+      SELECT doc_id + 4000000,
+             md5(text) || ' ' || md5(text || 'a') || ' '
+               || md5(text || 'b') || ' ' || md5(text || 'c')
+      FROM documents WHERE doc_id % 10 = 5),
+    corpus AS (SELECT * FROM old UNION ALL SELECT * FROM newb),
+    toks AS (SELECT uid, string_split(content, ' ') AS t FROM corpus),
+    sh AS (
+      SELECT DISTINCT uid, array_to_string(t[i:i+6], ' ') AS s
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 6, 1))) AS u(i)),
+    sizes AS (SELECT uid, count(*) AS sz FROM sh GROUP BY uid),
+    inter AS (
+      SELECT a.uid AS new_id, b.uid AS old_id, count(*) AS ic
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.uid >= 3000000 AND b.uid < 3000000
+      GROUP BY 1, 2)
+    SELECT new_id, old_id,
+           round(ic * 1.0 / (sa.sz + sb.sz - ic), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.uid = new_id
+    JOIN sizes sb ON sb.uid = old_id
+    WHERE ic * 1.0 / (sa.sz + sb.sz - ic) >= 0.8
+    """,
+    "incremental dedup: new batch vs standing corpus, asymmetric LSH + "
+    "exact verification",
+)
+def incremental_near_dup(spark, sf_dir):
+    """The daily-increment shape of the pipeline: a NEW batch (planted
+    append-edit twins of corpus docs + guaranteed-novel md5-gibberish docs)
+    is near-dup-checked against the standing corpus through the real
+    machinery — MinHash signatures, LSH band co-bucketing restricted to
+    new x old (never old x old: the standing side's bands are the
+    checkpointed table at scale, plans/checkpoint.py), then EXACT 7-token
+    shingle Jaccard >= 0.8 on the surviving candidates. The oracle is the
+    full brute-force exact-Jaccard join, so an LSH recall miss (a true
+    >= 0.8 pair not co-bucketed; P_miss < 1e-7 at J = 0.8 under r=4/b=32)
+    or a phantom pair both turn the row red.
+
+    Scale shape: signatures/bands for the standing 10^12-file side are
+    READ, not recomputed (stage-checkpoint tables); the daily batch is
+    orders of magnitude smaller, so the band join is map-heavy with the
+    new side's bands broadcastable; exact verification joins content only
+    for candidate pairs."""
+    from dedup_domains_spark.functions.signatures import add_signatures
+    from dedup_domains_spark.operators.lsh import lsh_band_table
+
+    cfg = DedupConfig()
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select(F.col("doc_id").alias("uid"), F.col("text").alias("content"))
+    twins = docs.filter("doc_id % 10 = 0 AND n_chars >= 100").select(
+        (F.col("doc_id") + 3_000_000).alias("uid"),
+        F.concat("text", F.lit(" zz9end")).alias("content"),
+    )
+    fresh = docs.filter("doc_id % 10 = 5").select(
+        (F.col("doc_id") + 4_000_000).alias("uid"),
+        F.concat_ws(
+            " ",
+            F.md5("text"),
+            F.md5(F.concat("text", F.lit("a"))),
+            F.md5(F.concat("text", F.lit("b"))),
+            F.md5(F.concat("text", F.lit("c"))),
+        ).alias("content"),
+    )
+    corpus = old.unionByName(twins).unionByName(fresh)
+    bt = lsh_band_table(add_signatures(corpus, cfg), cfg)
+    cand = (
+        bt.filter(F.col("uid") >= 3_000_000)
+        .select(F.col("uid").alias("new_id"), "band", "band_hash")
+        .join(
+            bt.filter(F.col("uid") < 3_000_000).select(
+                F.col("uid").alias("old_id"), "band", "band_hash"
+            ),
+            ["band", "band_hash"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh = corpus.select(
+        "uid", F.explode(T.ngram_shingles(F.col("content"), 7)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("uid").agg(F.count(F.lit(1)).alias("sz"))
+    ic = (
+        cand.join(sh.withColumnRenamed("uid", "new_id"), "new_id")
+        .join(sh.withColumnRenamed("uid", "old_id"), ["old_id", "s"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    sa = sizes.select(F.col("uid").alias("new_id"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("uid").alias("old_id"), F.col("sz").alias("szb"))
+    jac = F.col("ic") / (F.col("sza") + F.col("szb") - F.col("ic"))
+    return (
+        ic.join(sa, "new_id").join(sb, "old_id")
+        .filter(jac >= 0.8)
+        .select("new_id", "old_id", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring containment pairs (D2 analog, SQL-expressible variant)
 # ---------------------------------------------------------------------------
