@@ -44,6 +44,23 @@ def _q(name: str, oracle: Optional[str], survey_ref: str):
     return deco
 
 
+def _synthetic_uid(col, offset: int, limit: int):
+    """doc_id + offset for planted twin/batch rows, failing LOUDLY if a real
+    id ever reaches the offset band (ADVICE r03: a silent collision would
+    misclassify old docs as new / merge unrelated synthetic rows). The limit
+    is the strictest bound that keeps every synthetic band disjoint from the
+    real ids and from each other; the oracle SQL assumes the same invariant,
+    so violating it must be an error, not a wrong answer."""
+    return F.when(col < limit, col + offset).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"synthetic uid collision: doc_id %s >= {limit} overlaps "
+                f"the +{offset} planted band", col.cast("string"),
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # D1: exact-duplicate collapse (reference domaintree.c:259-294)
 # ---------------------------------------------------------------------------
@@ -724,14 +741,19 @@ def line_boilerplate_scrub(spark, sf_dir):
             F.when(~F.col("_rm"), F.struct("pos", "line"))
         )
     )
+    # ADVICE r03: if EVERY line of a doc were flagged, Spark's
+    # md5(array_join(empty)) = md5('') while DuckDB's string_agg over
+    # all-NULL is NULL — return NULL on both sides instead. Unreachable
+    # today (each doc carries a planted unique line), but the twin must not
+    # depend on that invariant.
+    kept_md5 = F.when(
+        F.size(kept_sorted) > 0,
+        F.md5(F.array_join(F.transform(kept_sorted, lambda s: s["line"]), "\n")),
+    )
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("_rm").cast("long")).alias("n_removed"),
-        F.md5(
-            F.array_join(
-                F.transform(kept_sorted, lambda s: s["line"]), "\n"
-            )
-        ).alias("cleaned_md5"),
+        kept_md5.alias("cleaned_md5"),
     )
 
 
@@ -821,7 +843,7 @@ def exact_substr_spans(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.select("doc_id", "text").unionByName(
         docs.filter("doc_id % 7 = 0").select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            _synthetic_uid(F.col("doc_id"), 2_000_000, 2_000_000).alias("doc_id"),
             F.concat(
                 F.lit("quoted "), F.col("doc_id"), F.lit(" "), F.col("text")
             ).alias("text"),
@@ -919,12 +941,14 @@ def incremental_near_dup(spark, sf_dir):
     cfg = DedupConfig()
     docs = _t(spark, sf_dir, "documents")
     old = docs.select(F.col("doc_id").alias("uid"), F.col("text").alias("content"))
+    # new/old split is uid >= 3e6 — real ids must stay below 1e6 so the
+    # +3e6 and +4e6 bands can't collide with reals or each other
     twins = docs.filter("doc_id % 10 = 0 AND n_chars >= 100").select(
-        (F.col("doc_id") + 3_000_000).alias("uid"),
+        _synthetic_uid(F.col("doc_id"), 3_000_000, 1_000_000).alias("uid"),
         F.concat("text", F.lit(" zz9end")).alias("content"),
     )
     fresh = docs.filter("doc_id % 10 = 5").select(
-        (F.col("doc_id") + 4_000_000).alias("uid"),
+        _synthetic_uid(F.col("doc_id"), 4_000_000, 1_000_000).alias("uid"),
         F.concat_ws(
             " ",
             F.md5("text"),
@@ -1261,12 +1285,13 @@ def _twin_corpus(spark, sf_dir, edit: str):
     base = docs.select(F.col("doc_id").alias("uid"), F.col("text").alias("content"))
     if edit == "append":
         twins = docs.filter("doc_id % 10 = 0 AND n_chars >= 100").select(
-            (F.col("doc_id") + _TWIN).alias("uid"),
+            _synthetic_uid(F.col("doc_id"), _TWIN, _TWIN).alias("uid"),
             F.concat("text", F.lit(" zz9end")).alias("content"),
         )
     else:
         twins = docs.filter("doc_id % 10 = 0").select(
-            (F.col("doc_id") + _TWIN).alias("uid"), F.col("text").alias("content")
+            _synthetic_uid(F.col("doc_id"), _TWIN, _TWIN).alias("uid"),
+            F.col("text").alias("content"),
         )
     return base.unionByName(twins)
 
@@ -2032,15 +2057,27 @@ def repetition_quality(spark, sf_dir):
     """Repetition-based quality signals (the Gopher/MassiveText family:
     duplicate-token fraction, most-frequent-token mass). Computed entirely
     with higher-order array functions — per-row, map-side, ZERO shuffle;
-    at 100 TB this runs at scan speed. The top-token count is
-    max over distinct tokens of occurrences, via transform+filter+size
-    (O(distinct x tokens) JVM comparisons per row — bounded by doc length)."""
+    at 100 TB this runs at scan speed. The top-token count is the longest
+    equal-run in the SORTED token array (one aggregate pass over array_sort,
+    O(n log n) per row) — the r03 transform+filter formulation was
+    O(distinct x tokens) and degenerated on single-token-repeated docs."""
     d = _t(spark, sf_dir, "documents").withColumn("t", F.split("text", " "))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct("t"),
-            lambda x: F.size(F.filter(F.col("t"), lambda y: y == x)),
-        )
+    run_len = lambda acc, x: (  # noqa: E731 — shared by run and best fields
+        F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+    )
+    top = F.aggregate(
+        F.array_sort("t"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_len(acc, x).alias("run"),
+            F.greatest(acc["best"], run_len(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return d.select(
         "doc_id",
@@ -2145,7 +2182,8 @@ def bloom_dedup_new_docs(spark, sf_dir):
         F.col("doc_id").alias("new_id"), F.sha2("text", 256).alias("sha")
     ).unionByName(
         docs.filter("doc_id % 8 = 1").select(
-            (F.col("doc_id") + _TWIN).alias("new_id"), F.sha2("text", 256).alias("sha")
+            _synthetic_uid(F.col("doc_id"), _TWIN, _TWIN).alias("new_id"),
+            F.sha2("text", 256).alias("sha"),
         )
     )
     return bloom_prefilter_anti_join(new, corpus, "sha").select("new_id")
