@@ -74,26 +74,34 @@ def image_features(df: DataFrame, thumb_size: int = 8) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                px = decode_image(r.data)
-                # average-hash: downscale by block mean, threshold
-                g = px.mean(axis=2)
-                bh, bw = g.shape[0] // 8, g.shape[1] // 8
-                small = g[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
-                bits = (small > small.mean()).ravel()
-                val = int.from_bytes(np.packbits(bits).tobytes(), "big")
-                thumb = px[::max(px.shape[0] // thumb_size, 1),
-                           ::max(px.shape[1] // thumb_size, 1)]
-                out.append((
-                    r.media_id,
-                    f"{val:016x}",
-                    px.reshape(-1, 3).mean(axis=0).astype(np.float32).tolist(),
-                    thumb.tobytes(),
-                ))
-            yield pd.DataFrame(
-                out, columns=["media_id", "phash", "mean_rgb", "thumb"]
+            if len(pdf) == 0:
+                continue
+            # decode stays per-row (a real codec is inherently per-payload);
+            # everything after it — grayscale, block-mean downscale,
+            # threshold, packbits, mean color, thumbnail stride — runs as
+            # ONE whole-batch tensor pass (VERDICT r03 item 5: the itertuples
+            # loop redid each step per row). The stub decoder emits a fixed
+            # 32x32x3, so the batch stacks; a prod decoder would bucket by
+            # shape before stacking.
+            px = np.stack([decode_image(d) for d in pdf["data"]])
+            b, h, w = px.shape[:3]
+            g = px.mean(axis=3)
+            bh, bw = h // 8, w // 8
+            small = (
+                g[:, : bh * 8, : bw * 8]
+                .reshape(b, 8, bh, 8, bw).mean(axis=(2, 4))
             )
+            bits = small > small.mean(axis=(1, 2), keepdims=True)
+            packed = np.packbits(bits.reshape(b, 64), axis=1)
+            vals = packed.copy().view(">u8").ravel()
+            mean_rgb = px.reshape(b, -1, 3).mean(axis=1).astype(np.float32)
+            thumbs = px[:, ::max(h // thumb_size, 1), ::max(w // thumb_size, 1)]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "phash": [f"{v:016x}" for v in vals],
+                "mean_rgb": list(mean_rgb),
+                "thumb": [t.tobytes() for t in thumbs],
+            })
 
     return df.mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
 
@@ -132,8 +140,11 @@ def audio_features(df: DataFrame, window: int = 4000) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for r in pdf.itertuples(index=False):
-                pcm = decode_audio(r.data)
+            # per-row by necessity: decoded PCM lengths vary per payload, so
+            # the windowed-RMS pass can't stack across rows; every step
+            # below is already a whole-array numpy op over that row's PCM
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                pcm = decode_audio(data)
                 nwin = max(len(pcm) // window, 1)
                 w = pcm[: nwin * window].reshape(nwin, -1)
                 rms = np.sqrt((w ** 2).mean(axis=1)) + 1e-12
@@ -145,7 +156,7 @@ def audio_features(df: DataFrame, window: int = 4000) -> DataFrame:
                 val = int.from_bytes(
                     np.packbits(delta).tobytes(), "big"
                 ) >> ((-len(delta)) % 8)
-                out.append((r.media_id, int(nwin), db.tolist(), f"{val:016x}"))
+                out.append((media_id, int(nwin), db.tolist(), f"{val:016x}"))
             yield pd.DataFrame(
                 out, columns=["media_id", "n_windows", "rms_db", "afingerprint"]
             )
@@ -169,18 +180,33 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                n = max(int((r.duration_ms or 0) / every_ms), 1)
-                for i in range(n):
-                    # stub frame = sha256(payload || ascii(frame_idx)) — a
-                    # deterministic, SQL-recomputable stand-in for the real
-                    # decoder (codecs absent in this container)
-                    seed = hashlib.sha256(
-                        r.data + str(i).encode("ascii")
-                    ).digest()
-                    rows.append((r.media_id, i, seed))  # stub frame bytes
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+            if len(pdf) == 0:
+                continue
+            # fan-out as one np.repeat/offset build (VERDICT r03 item 5):
+            # frame counts, source-row map and frame indices are all
+            # whole-batch arrays; only the stub frame hash stays per output
+            # row — sha256(payload || ascii(frame_idx)), the deterministic
+            # SQL-recomputable stand-in for the absent decoder — and each
+            # source row's payload digest state is computed once and COPIED
+            # per frame rather than re-hashing the payload every frame.
+            n = np.maximum(
+                pdf["duration_ms"].fillna(0).to_numpy(np.int64) // every_ms, 1
+            )
+            starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+            idx = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
+            src = np.repeat(np.arange(len(pdf), dtype=np.int64), n)
+            bases = [hashlib.sha256(d) for d in pdf["data"]]
+
+            def _frame(r: int, i: int) -> bytes:
+                h = bases[r].copy()
+                h.update(str(i).encode("ascii"))
+                return h.digest()
+
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy()[src],
+                "frame_idx": idx.astype(np.int32),
+                "frame": [_frame(r, i) for r, i in zip(src, idx)],
+            })
 
     return df.filter(F.col("kind") == "video").mapInPandas(
         fn, schema=FRAME_SAMPLE_SCHEMA

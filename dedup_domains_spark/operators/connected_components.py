@@ -47,10 +47,24 @@ def connected_components(
     silently wrong clusters (ADVICE r01). ``stats['iterations']`` reports
     the rounds used (surfaced in pipeline metrics).
     """
-    # symmetric adjacency, self-loop so a node keeps its own label in the min
+    # symmetric adjacency, self-loop so a node keeps its own label in the min.
+    # Built with ONE scan of edges (explode of both directions) rather than a
+    # self-union: the union's two branches read the edges plan independently,
+    # so when the caller hands an unpopulated cached edges frame, the first
+    # adj job would compute the whole upstream (candidates + verify +
+    # containment) TWICE concurrently. Single-scan adj makes the labels-init
+    # job below a safe linear materializer for the caller's edges cache —
+    # which lets the pipeline drop its separate edges.count() barrier.
     adj = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .distinct()
     ).cache()  # static across rounds — cache, don't checkpoint (a reliable
     # checkpoint computes its input twice: once for the job, once for the
@@ -100,6 +114,13 @@ def connected_components(
         )
         merged = _truncate(merged, durable)
         labels = merged.select("uid", "cluster_id")
+        # Skip the convergence probe on round 1: labels start as self, so
+        # ANY edge between distinct uids forces a change — the probe there
+        # is a guaranteed-true driver barrier (VERDICT r03 item 3: the CC
+        # loop's driver-synchronized jobs are the strong-scaling frontier).
+        # An empty edge set converges on round 2's probe over empty frames.
+        if it == 0 and max_iterations > 1:
+            continue
         changed = merged.filter(
             F.col("cluster_id") != F.col("_old")
         ).limit(1).count()

@@ -67,16 +67,27 @@ def verify_pairs_exact(
     @F.pandas_udf(DoubleType())
     def _jac(a: pd.Series, b: pd.Series) -> pd.Series:
         # whole-batch numpy shingling (one tokenizer pass per column), then
-        # per-pair sorted-array intersection — no Python int sets
-        sha, offa, cnta, _ = batch_shingle_segments(a.tolist(), cfg.shingle_k)
-        shb, offb, cntb, _ = batch_shingle_segments(b.tolist(), cfg.shingle_k)
-        out = np.empty(len(a))
-        for i in range(len(a)):
-            xa = sha[offa[i]:offa[i] + cnta[i]]
-            xb = shb[offb[i]:offb[i] + cntb[i]]
-            inter = np.intersect1d(xa, xb, assume_unique=True).size
-            u = xa.size + xb.size - inter
-            out[i] = (inter / u) if u else 1.0
+        # ONE segmented intersection across all pairs at once (VERDICT r03
+        # item 6: the per-pair intersect1d loop was the last Python loop on
+        # the oracle-profile path). Each side's segments are sorted-unique
+        # and contiguous in pair order, so after tagging every shingle with
+        # its pair index and lexsorting the combined array, an intersecting
+        # value appears exactly twice adjacent under (pair, value) order —
+        # per-pair intersection sizes fall out of one bincount.
+        sha, _, cnta, _ = batch_shingle_segments(a.tolist(), cfg.shingle_k)
+        shb, _, cntb, _ = batch_shingle_segments(b.tolist(), cfg.shingle_k)
+        n = len(a)
+        pair_of = np.concatenate([
+            np.repeat(np.arange(n, dtype=np.int64), cnta),
+            np.repeat(np.arange(n, dtype=np.int64), cntb),
+        ])
+        vals = np.concatenate([sha, shb])
+        order = np.lexsort((vals, pair_of))
+        pair_s, vals_s = pair_of[order], vals[order]
+        dup = (pair_s[1:] == pair_s[:-1]) & (vals_s[1:] == vals_s[:-1])
+        inter = np.bincount(pair_s[1:][dup], minlength=n).astype(np.float64)
+        union = (cnta + cntb).astype(np.float64) - inter
+        out = np.where(union > 0, inter / np.maximum(union, 1.0), 1.0)
         return pd.Series(out)
 
     return (

@@ -142,8 +142,12 @@ def run_pipeline(
         contained = suffix_contained_pairs(exact_reps, sig_df, cfg)
     else:
         # repartition=0: exact_reps is already balanced (repartitioned at
-        # creation above) — skip the operator's defensive content shuffle
-        contained = contained_pairs(exact_reps, sig_df, cfg, repartition=0)
+        # creation above) — skip the operator's defensive content shuffle.
+        # eager: materialize the (tiny) candidate set and release the
+        # corpus-shingle-mass DISK_ONLY spill immediately instead of holding
+        # it through the CC loop and beyond (VERDICT r03 item 4).
+        contained = contained_pairs(exact_reps, sig_df, cfg, repartition=0,
+                                    eager=True)
     contained = ckpt.stage(contained, "contained_pairs").cache()
 
     # ---- edge union: near + containment + exact-dup membership ----
@@ -161,7 +165,11 @@ def run_pipeline(
         .unionByName(exact_edges.withColumn("edge_kind", F.lit("exact")))
     )
     edges = ckpt.stage(edges, "edges").cache()
-    edges.count()  # eager: the CC loop + metrics + electability all read it
+    # no edges.count() barrier here (VERDICT r03 item 3): connected_components
+    # builds its adjacency with a SINGLE scan of edges, so its labels-init
+    # job is a linear materializer for this cache — metrics and electability
+    # read the populated blocks afterwards. (The old count() + CC-init pair
+    # scanned the full upstream twice back-to-back.)
 
     # ---- connected components + singleton backfill ----
     cc_stats: dict = {}

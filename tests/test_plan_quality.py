@@ -82,6 +82,40 @@ def test_containment_probe_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_containment_eager_releases_postings_spill(spark):
+    """eager=True must leave NO retained DISK_ONLY blocks once the candidate
+    set is materialized (VERDICT r03 item 4: the postings persist previously
+    outlived the query — fine once per session, an accumulating spill in a
+    recurring incremental loop)."""
+    from dedup_domains_spark.config import DedupConfig
+    from dedup_domains_spark.functions.signatures import add_signatures
+    from dedup_domains_spark.operators.containment import contained_pairs
+    from dedup_domains_spark.sources.code_corpus import with_row_identity
+
+    cfg = DedupConfig()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5("text").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    def _disk_only_ids():
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if info.storageLevel().useDisk()
+            and not info.storageLevel().useMemory()
+        }
+
+    before = _disk_only_ids()  # session is shared — other tests may cache
+    df = with_row_identity(docs)
+    sig = add_signatures(df.select("uid", "content"), cfg)
+    contained_pairs(df, sig, cfg, eager=True).count()
+    leaked = _disk_only_ids() - before
+    assert leaked == set(), f"retained DISK_ONLY blocks: {leaked}"
+
+
 def test_embedding_near_dup_no_cartesian(spark):
     """The bucketed embedding near-dup path must never degrade to an O(n²)
     cartesian/nested-loop join (VERDICT r01 item 2)."""
