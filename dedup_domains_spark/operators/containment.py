@@ -37,7 +37,7 @@ from dedup_domains_spark.functions.signatures import explode_shingles_udf
 def containment_candidates(
     df: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid",
     broadcast_probes: bool = True, repartition: int | None = None,
-    eager: bool = False,
+    eager: bool = False, spill: list | None = None,
 ) -> DataFrame:
     """Candidate (containee, container) pairs: every probe of the containee
     appears in the container's shingle set and the container is larger.
@@ -59,9 +59,12 @@ def containment_candidates(
     retained until the ContextCleaner ran — one call per session is fine, a
     recurring incremental loop accumulates spilled blocks. ``eager=True``
     localCheckpoints the (small) candidate-pair result and releases postings
-    before returning, mirroring bloom_prefilter_anti_join; with
-    ``eager=False`` the caller owns the lifecycle (clearCache after
-    materializing).
+    before returning, mirroring bloom_prefilter_anti_join — note this
+    SERIALIZES the containment branch against whatever the caller would have
+    computed concurrently in the same job, so the pipeline instead passes
+    ``spill``: a list the postings cache handle is appended to, for the
+    caller to unpersist once its own materializing action has run. With
+    neither, the caller owns the lifecycle (clearCache after materializing).
     """
     # explicit fan-out before the tokenizing UDF — same rationale as
     # signatures.add_signatures: AQE would coalesce the small projection and
@@ -154,7 +157,9 @@ def containment_candidates(
             .filter(F.col("big_sh") > F.col("small_sh"))
             .select("small_id", "big_id")
         )
-        if eager:
+        if spill is not None:
+            spill.append(postings_cache)
+        elif eager:
             # candidate pairs are id-only and small; materialize them once
             # and release the corpus-shingle-mass spill immediately
             hits = hits.localCheckpoint(eager=True)
@@ -199,14 +204,16 @@ def verify_containment(
 def contained_pairs(
     df: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid",
     repartition: int | None = None, eager: bool = False,
+    spill: list | None = None,
 ) -> DataFrame:
     """(small_id, big_id) verified exact-substring containment pairs.
 
     ``eager=True`` materializes the candidate set and releases the postings
-    spill before the verify join (see containment_candidates)."""
+    spill before the verify join; ``spill`` defers the release to the caller
+    without serializing (see containment_candidates)."""
     cand = containment_candidates(
         df, sig_df, cfg, id_col,
         broadcast_probes=cfg.containment_broadcast_probes,
-        repartition=repartition, eager=eager,
+        repartition=repartition, eager=eager, spill=spill,
     )
     return verify_containment(cand, df, id_col)

@@ -136,6 +136,7 @@ def run_pipeline(
     near = ckpt.stage(near.select("id_a", "id_b"), "near_pairs")
 
     # ---- D2 analog: exact-substring containment ----
+    spill_caches: list = []  # interim persists released after CC-init runs
     if cfg.containment_verify == "suffix_array":
         from dedup_domains_spark.operators.suffix_array import suffix_contained_pairs
 
@@ -143,11 +144,14 @@ def run_pipeline(
     else:
         # repartition=0: exact_reps is already balanced (repartitioned at
         # creation above) — skip the operator's defensive content shuffle.
-        # eager: materialize the (tiny) candidate set and release the
-        # corpus-shingle-mass DISK_ONLY spill immediately instead of holding
-        # it through the CC loop and beyond (VERDICT r03 item 4).
+        # spill hand-off: the postings DISK_ONLY cache is released right
+        # after CC's init job materializes the edge DAG (VERDICT r03 item 4)
+        # — NOT via eager mode, which would materialize the containment
+        # branch synchronously and forfeit its concurrency with the
+        # candidates/verify stages inside that job (measured 42 -> 81 s at
+        # 240k rows when serialized).
         contained = contained_pairs(exact_reps, sig_df, cfg, repartition=0,
-                                    eager=True)
+                                    spill=spill_caches)
     contained = ckpt.stage(contained, "contained_pairs").cache()
 
     # ---- edge union: near + containment + exact-dup membership ----
@@ -173,10 +177,16 @@ def run_pipeline(
 
     # ---- connected components + singleton backfill ----
     cc_stats: dict = {}
-    labels = connected_components(
-        edges.select("id_a", "id_b"), max_iterations=cfg.cc_max_iterations,
-        stats=cc_stats, durable=checkpoint_dir is not None,
-    )
+    try:
+        labels = connected_components(
+            edges.select("id_a", "id_b"), max_iterations=cfg.cc_max_iterations,
+            stats=cc_stats, durable=checkpoint_dir is not None,
+        )
+    finally:
+        # CC's init job has materialized the full edge DAG (contained is
+        # cached now) — the containment postings spill is no longer reachable
+        for c in spill_caches:
+            c.unpersist()
     singletons = (
         dedupable.select("uid")
         .join(labels.select("uid"), "uid", "leftanti")
