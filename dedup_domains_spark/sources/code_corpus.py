@@ -21,14 +21,23 @@ def load_code_corpus(spark: SparkSession, source: str, fmt: str | None = None) -
 
     fmt overrides format detection; paths ending .csv/.json/.jsonl load via
     the corresponding reader (header CSV, JSON-lines) with the corpus schema
-    enforced; everything else is parquet. Iceberg table names (dotted, no
-    slash) go through the Iceberg catalog when a runtime is present."""
+    enforced; everything else is parquet. Table names (dotted or bare, no
+    slash) first try the Iceberg catalog (the input_hint shape; runtime jars
+    absent in this sandbox), then the session catalog — which covers
+    Spark-managed tables including the BUCKETED layout
+    ``save_corpus_table`` writes."""
     if fmt is None:
-        if "/" not in source and "." in source:
+        if "/" not in source:
             try:
                 return spark.read.format("iceberg").load(source)
             except Exception:
-                pass  # no Iceberg runtime in this sandbox — parquet fallback
+                pass  # no Iceberg runtime in this sandbox
+            if spark.catalog.tableExists(source):
+                return spark.read.table(source)
+            if "." not in source:
+                raise ValueError(
+                    f"table {source!r} not found in the session catalog"
+                )
         low = source.rstrip("/").lower()
         fmt = (
             "csv" if low.endswith(".csv")
@@ -43,6 +52,32 @@ def load_code_corpus(spark: SparkSession, source: str, fmt: str | None = None) -
     if fmt == "json":
         return spark.read.schema(schema).json(source)
     return spark.read.parquet(source)
+
+
+def save_corpus_table(
+    df: DataFrame, name: str, buckets: int = 64, location: str | None = None,
+) -> None:
+    """Write the corpus as a catalog-managed BUCKETED table — the sandbox
+    stand-in for the input_hint's Iceberg table (runtime jars absent here;
+    on a real cluster the same writer shape targets
+    ``.format("iceberg")`` with a bucket partition transform).
+
+    Bucketing by ``repo`` (sorted by path within buckets) is the layout the
+    repo-granularity operators want at 10^12 files: groupBy(repo) and
+    repo-vs-repo joins read co-located buckets with NO shuffle (Spark's
+    bucket join elides the Exchange when both sides share the bucketing),
+    and a single-repo lookup prunes to one bucket instead of scanning the
+    corpus. The dedup pipeline itself is indifferent (it repartitions on
+    uid hash), so the layout is chosen for the query side."""
+    writer = (
+        df.select(*CORPUS_COLS)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "repo")
+        .sortBy("repo", "path")
+    )
+    if location:
+        writer = writer.option("path", location)
+    writer.saveAsTable(name)
 
 
 def with_row_identity(df: DataFrame) -> DataFrame:
