@@ -116,6 +116,50 @@ def test_containment_eager_releases_postings_spill(spark):
     assert leaked == set(), f"retained DISK_ONLY blocks: {leaked}"
 
 
+def test_pipeline_job_budget(spark):
+    """Pin the pipeline's Spark-job count — every job boundary is a driver
+    barrier a 1000-executor cluster pays at full fan-in, and the r04 barrier
+    diet (single-scan CC adjacency, no separate edges.count, round-1
+    convergence probe skipped) is exactly the kind of property a refactor
+    silently regresses. Job count is deterministic for a seeded corpus and
+    fixed config (timing is not), so an exact upper bound is assertable.
+
+    The CC fixpoint loop contributes 2 jobs per iteration (localCheckpoint
+    + convergence probe, round-1 probe skipped), and iteration count depends
+    on the duplicate graph's diameter — corpus-size-dependent — so the
+    budget is iteration-aware: BASE covers everything outside the loop
+    (23 measured post-diet: identity/exact/signature materialization, the
+    CC labels-init scan that doubles as the edges materializer, election,
+    survivors, cluster_map) plus 2 x cc_iterations, plus 2 headroom for
+    Spark scheduling differences. If this fails after an intentional
+    change, re-measure and move BASE WITH a BENCH.md note."""
+    from dedup_domains_spark.config import DedupConfig
+    from dedup_domains_spark.datagen import gen_code_corpus
+    from dedup_domains_spark.plans.pipeline import run_pipeline
+
+    sc = spark.sparkContext
+    files = spark.createDataFrame(gen_code_corpus(2000).files)
+    sc.setJobGroup("pipeline-job-budget", "barrier-diet regression audit")
+    try:
+        res = run_pipeline(spark, files, DedupConfig())
+        res.survivors.count()
+        res.cluster_map.count()
+    finally:
+        sc._jsc.clearJobGroup()
+    jobs = sc.statusTracker().getJobIdsForGroup("pipeline-job-budget")
+    # metrics.collect() runs OUTSIDE the job group — reading the iteration
+    # count must not inflate the number it calibrates
+    cc_iters = {r["stage"]: r["count"] for r in res.metrics.collect()}[
+        "cc_iterations"
+    ]
+    budget = 23 + 2 * cc_iters + 2
+    assert 0 < len(jobs) <= budget, (
+        f"pipeline ran {len(jobs)} jobs at cc_iterations={cc_iters} — "
+        f"barrier diet regressed (budget {budget} = 23 base + "
+        f"2x{cc_iters} CC rounds + 2 headroom); job ids: {sorted(jobs)}"
+    )
+
+
 def test_bucketed_corpus_table_elides_join_shuffle(spark, tmp_path):
     """save_corpus_table writes the input_hint-shaped table bucketed by repo;
     a repo-keyed self-join of the catalog table must plan with NO Exchange
