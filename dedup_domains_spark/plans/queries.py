@@ -44,6 +44,20 @@ def _q(name: str, oracle: Optional[str], survey_ref: str):
     return deco
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint for a shared fan-out node inside one catalog
+    query. Spark's block cache does not dedupe CONCURRENT computation of an
+    unpopulated cached plan within one job (BENCH.md gotcha — the pipeline
+    materializes sig_df eagerly for the same reason), so a signature/shingle
+    table consumed by 3-4 downstream branches would run its expensive
+    stage 3-4x concurrently. A plain .cache() is ruled out here: the bench's
+    best-of-2 reps re-invoke the query function, and the cache manager would
+    match rep 2's identical logical plan against rep 1's populated blocks —
+    rep 2 would measure a cache read, not the engine. localCheckpoint blocks
+    hang off this invocation's RDD, so every rep pays its own full pass."""
+    return df.localCheckpoint()
+
+
 def _synthetic_uid(col, offset: int, limit: int):
     """doc_id + offset for planted twin/batch rows, failing LOUDLY if a real
     id ever reaches the offset band (ADVICE r03: a silent collision would
@@ -477,6 +491,11 @@ def doc_fingerprint_q(spark, sf_dir):
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    # sh fans out to 3 branches but needs NO materialization: the explode is
+    # JVM codegen and all branches sit above the distinct's Exchange, which
+    # Catalyst reuses (ReusedExchange) — measured 3.7 -> 4.6 s WORSE with a
+    # localCheckpoint here (sf0.1; _materialize pays off only for Arrow-UDF
+    # nodes whose branches don't share an Exchange, see minhash_lsh_pairs)
     sh = d.select(
         "doc_id", F.explode(T.ngram_shingles(F.col("text"), 3)).alias("s")
     ).distinct()
@@ -1061,6 +1080,8 @@ def connected_components_ngram(spark, sf_dir):
     from dedup_domains_spark.operators.connected_components import connected_components
 
     d = _t(spark, sf_dir, "documents")
+    # no materialization: branches share the distinct's Exchange (see
+    # ngram_jaccard_pairs — a localCheckpoint here measured 3x WORSE)
     sh = d.select(
         "doc_id", F.explode(T.ngram_shingles(F.col("text"), 3)).alias("s")
     ).distinct()
@@ -1323,7 +1344,8 @@ def minhash_lsh_pairs(spark, sf_dir):
     from dedup_domains_spark.operators.verify import attach_minhash_estimate
 
     cfg = DedupConfig()
-    sig = add_signatures(_twin_corpus(spark, sf_dir, "append"), cfg)
+    # fan-out node: both band-table filters + both estimate joins read sig
+    sig = _materialize(add_signatures(_twin_corpus(spark, sf_dir, "append"), cfg))
     bt = lsh_band_table(sig, cfg)
     a = bt.filter((F.col("uid") < _TWIN) & (F.col("uid") % 10 == 0)).select(
         F.col("uid").alias("id_a"), "band", "band_hash"
@@ -1357,7 +1379,8 @@ def simhash_pairs(spark, sf_dir):
     from dedup_domains_spark.operators.simhash_buckets import simhash_block_table
 
     cfg = DedupConfig()
-    sig = add_signatures(_twin_corpus(spark, sf_dir, "identical"), cfg)
+    # fan-out node: both block-table filters + both simhash joins read sig
+    sig = _materialize(add_signatures(_twin_corpus(spark, sf_dir, "identical"), cfg))
     bt = simhash_block_table(sig, cfg)
     a = bt.filter((F.col("uid") < _TWIN) & (F.col("uid") % 10 == 0)).select(
         F.col("uid").alias("id_a"), "block", "block_val"
@@ -1734,7 +1757,10 @@ def _containment_over_docs(spark, sf_dir, pairs_fn):
     df = with_row_identity(_docs_as_corpus(spark, sf_dir)).withColumn(
         "doc_id", F.col("path").cast("long")
     )
-    sig = add_signatures(df.select("uid", "content"), cfg)
+    # fan-out node: probe collection (toPandas), probe explode, and the
+    # container-size join all read sig — without materialization the
+    # signature UDF runs 3x (once per consumer)
+    sig = _materialize(add_signatures(df.select("uid", "content"), cfg))
     ids = df.select("uid", "doc_id")
     pairs = pairs_fn(df, sig, cfg)
     return (
