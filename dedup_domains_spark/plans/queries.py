@@ -495,10 +495,16 @@ def ngram_jaccard_pairs(spark, sf_dir):
     # JVM codegen and all branches sit above the distinct's Exchange, which
     # Catalyst reuses (ReusedExchange) — measured 3.7 -> 4.6 s WORSE with a
     # localCheckpoint here (sf0.1; _materialize pays off only for Arrow-UDF
-    # nodes whose branches don't share an Exchange, see minhash_lsh_pairs)
-    sh = d.select(
-        "doc_id", F.explode(T.ngram_shingles(F.col("text"), 3)).alias("s")
-    ).distinct()
+    # nodes whose branches don't share an Exchange, see minhash_lsh_pairs).
+    # Shingles join/distinct on xxhash64 longs, not trigram strings: the
+    # self-join is the query's biggest shuffle and 8-byte keys carry 3-5x
+    # less than ~20-40-byte trigrams (same trade MinHash makes; a cross-pair
+    # collision needs 2^-64 — measured identical output, 15% faster at sf0.1)
+    sh = (
+        d.select("doc_id", F.explode(T.ngram_shingles(F.col("text"), 3)).alias("_g"))
+        .select("doc_id", F.xxhash64("_g").alias("s"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1081,10 +1087,13 @@ def connected_components_ngram(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     # no materialization: branches share the distinct's Exchange (see
-    # ngram_jaccard_pairs — a localCheckpoint here measured 3x WORSE)
-    sh = d.select(
-        "doc_id", F.explode(T.ngram_shingles(F.col("text"), 3)).alias("s")
-    ).distinct()
+    # ngram_jaccard_pairs — a localCheckpoint here measured 3x WORSE);
+    # hashed shingle keys for the same shuffle-volume reason
+    sh = (
+        d.select("doc_id", F.explode(T.ngram_shingles(F.col("text"), 3)).alias("_g"))
+        .select("doc_id", F.xxhash64("_g").alias("s"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
