@@ -116,6 +116,27 @@ def test_containment_eager_releases_postings_spill(spark):
     assert leaked == set(), f"retained DISK_ONLY blocks: {leaked}"
 
 
+def test_udf_fanout_queries_materialize_signatures(spark):
+    """The UDF-heavy catalog queries materialize their signature table at
+    construction (plans/queries._materialize): their FINAL plan must carry
+    zero ArrowEvalPython nodes — if the UDF reappears in the returned plan,
+    a branch re-derived signatures from source and the 3-4x concurrent
+    recompute (block cache does not dedupe in-flight work) is back.
+
+    containment_probe_pairs is excluded: its plan legitimately carries ONE
+    ArrowEvalPython — the postings shingle-explode over content, a separate
+    single-pass UDF behind the DISK_ONLY postings persist — so a zero-node
+    assertion can't distinguish that from a signature leak."""
+    from dedup_domains_spark.plans.queries import QUERIES
+
+    for name in ("minhash_lsh_pairs", "simhash_pairs"):
+        plan = _formatted(QUERIES[name].spark_fn(spark, SF))
+        assert "ArrowEvalPython" not in plan, (
+            f"{name}: signature UDF leaked into the final plan — "
+            f"fan-out node no longer materialized"
+        )
+
+
 def test_pipeline_job_budget(spark):
     """Pin the pipeline's Spark-job count — every job boundary is a driver
     barrier a 1000-executor cluster pays at full fan-in, and the r04 barrier
