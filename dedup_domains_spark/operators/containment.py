@@ -34,10 +34,28 @@ from dedup_domains_spark.config import DedupConfig
 from dedup_domains_spark.functions.signatures import explode_shingles_udf
 
 
+def collect_probe_filter(sig_df: DataFrame, cfg: DedupConfig):
+    """The distinct probe-shingle set as a sorted int64 numpy array — pushed
+    into the posting explode so executors emit only postings that can ever
+    match a probe (driver-sized by definition in the broadcast regime).
+
+    This collection SCANS every partition of sig_df (the containee filter
+    sits above the scan), so when sig_df is an unpopulated cache the call
+    doubles as its materializing action — run_pipeline exploits that to fuse
+    its sig_df.count() barrier with this collection into one job."""
+    import numpy as np
+
+    probe_rows = (
+        sig_df.filter(F.col("n_tokens") >= cfg.min_containee_tokens)
+        .select(F.explode("probes").alias("s")).distinct().toPandas()
+    )
+    return np.sort(probe_rows["s"].to_numpy(dtype=np.int64))
+
+
 def containment_candidates(
     df: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid",
     broadcast_probes: bool = True, repartition: int | None = None,
-    eager: bool = False, spill: list | None = None,
+    eager: bool = False, spill: list | None = None, probe_filter=None,
 ) -> DataFrame:
     """Candidate (containee, container) pairs: every probe of the containee
     appears in the container's shingle set and the container is larger.
@@ -86,15 +104,10 @@ def containment_candidates(
     # because a shingle in the probe set keeps ALL its postings. The
     # shuffle-join path (broadcast_probes=False, >10^8 docs) keeps the full
     # explode.
-    probe_filter = None
-    if broadcast_probes:
-        import numpy as np
-
-        probe_rows = (
-            sig_df.filter(F.col("n_tokens") >= cfg.min_containee_tokens)
-            .select(F.explode("probes").alias("s")).distinct().toPandas()
-        )
-        probe_filter = np.sort(probe_rows["s"].to_numpy(dtype=np.int64))
+    if probe_filter is None and broadcast_probes:
+        probe_filter = collect_probe_filter(sig_df, cfg)
+    elif not broadcast_probes:
+        probe_filter = None
 
     src = df.select(id_col, "content")
     if fanout:
@@ -204,16 +217,19 @@ def verify_containment(
 def contained_pairs(
     df: DataFrame, sig_df: DataFrame, cfg: DedupConfig, id_col: str = "uid",
     repartition: int | None = None, eager: bool = False,
-    spill: list | None = None,
+    spill: list | None = None, probe_filter=None,
 ) -> DataFrame:
     """(small_id, big_id) verified exact-substring containment pairs.
 
     ``eager=True`` materializes the candidate set and releases the postings
     spill before the verify join; ``spill`` defers the release to the caller
-    without serializing (see containment_candidates)."""
+    without serializing (see containment_candidates). ``probe_filter`` skips
+    the internal probe collection when the caller already holds the set
+    (run_pipeline fuses it with its sig materializer barrier)."""
     cand = containment_candidates(
         df, sig_df, cfg, id_col,
         broadcast_probes=cfg.containment_broadcast_probes,
         repartition=repartition, eager=eager, spill=spill,
+        probe_filter=probe_filter,
     )
     return verify_containment(cand, df, id_col)

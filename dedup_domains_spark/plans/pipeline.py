@@ -121,8 +121,17 @@ def run_pipeline(
     ).select("uid", "n_tokens", "n_shingles", "minhash", "simhash", "probes")
     sig_df = ckpt.stage(sig_df, "signatures").cache()
     # eager: four consumers fan out from sig_df (bands, blocks, verify twice,
-    # containment probes) — materialize once, linearly, before they race
-    sig_df.count()
+    # containment probes) — materialize once, linearly, before they race.
+    # When the containment scan path will need the probe set anyway, its
+    # collection IS the materializing action (it scans every sig_df
+    # partition, collect_probe_filter) — one driver barrier instead of two.
+    probe_filter = None
+    if cfg.containment_verify == "scan" and cfg.containment_broadcast_probes:
+        from dedup_domains_spark.operators.containment import collect_probe_filter
+
+        probe_filter = collect_probe_filter(sig_df, cfg)
+    else:
+        sig_df.count()
 
     # ---- candidate generation: fused LSH bands ∪ SimHash blocks ----
     candidates = fused_candidate_pairs(sig_df, cfg)
@@ -151,7 +160,8 @@ def run_pipeline(
         # candidates/verify stages inside that job (measured 42 -> 81 s at
         # 240k rows when serialized).
         contained = contained_pairs(exact_reps, sig_df, cfg, repartition=0,
-                                    spill=spill_caches)
+                                    spill=spill_caches,
+                                    probe_filter=probe_filter)
     contained = ckpt.stage(contained, "contained_pairs").cache()
 
     # ---- edge union: near + containment + exact-dup membership ----
