@@ -290,13 +290,24 @@ def write_survivor_files(result: DomainModeResult, out_dir: str) -> dict[str, li
 
     Driver-side collect is fine for fixture-scale parity checks; the scale
     path is ``survivors.write.partitionBy('source_file')``.
+
+    A source whose every line was pruned still gets an (empty) entry — the
+    reference writes an empty output file for it (pfb_prune.c:666-728, and
+    the CLI sink write_survivor_text_files mirrors that); the full source
+    list is recovered from survivors ∪ dropped lineage.
     """
     rows = (
         result.survivors.select("source_file", "linenumber", "raw_line")
         .orderBy("source_file", "linenumber")
         .collect()
     )
-    out: dict[str, list[str]] = {}
+    sources = [
+        r.source_file
+        for r in result.survivors.select("source_file")
+        .unionByName(result.dropped.select("source_file"))
+        .distinct().collect()
+    ]
+    out: dict[str, list[str]] = {s: [] for s in sources}
     for r in rows:
         out.setdefault(r.source_file, []).append(r.raw_line)
     return out
