@@ -40,7 +40,7 @@ BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "240000"))
 # budget runs out (the r02 lesson: ONE round lands in ONE hypervisor weather
 # window, and a starved window produces ratios that say nothing — see
 # BENCH.md host-control experiment and the memory note on host noise)
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "8"))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "12"))
 SCALING_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "3600"))
 GATE = 0.8
 
