@@ -229,6 +229,23 @@ def test_embedding_near_dup_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_semdedup_within_cell_join_shape(spark):
+    """semdedup_cells: the only all-pairs structure allowed is the
+    vector-by-centroid scoring (tiny broadcast side, like ann_ivf_topk);
+    the member-by-member comparison must be an equi-join on the cell key —
+    at scale the cell is the shuffle key and k bounds the in-cell
+    quadratic, so a CartesianProduct among members would be the O(n²)
+    failure the operator exists to avoid."""
+    from dedup_domains_spark.plans.queries import QUERIES
+
+    df = QUERIES["semdedup_cells"].spark_fn(spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, plan
+    # the within-cell pair join keys on cent_id (an equi-join), visible as a
+    # hash/sort-merge join keyed on cent_id in the formatted plan
+    assert "cent_id" in plan, plan
+
+
 def test_exact_dedup_single_shuffle(spark):
     from dedup_domains_spark.operators.exact_dedup import exact_dedup
     from dedup_domains_spark.sources.code_corpus import with_row_identity
