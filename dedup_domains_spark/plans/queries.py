@@ -464,6 +464,76 @@ def doc_fingerprint_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# tf-idf top-k terms per document (keyword extraction for corpus triage)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "tfidf_topk_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term AS term, tf.tf AS tf,
+             tf.tf * (n_docs + 1.0) / (dfc.df + 1.0) AS tfidf
+      FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN n)
+    SELECT doc_id, term, tf, round(tfidf, 4) AS tfidf
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    "text:tfidf",
+)
+def tfidf_topk_terms(spark, sf_dir):
+    """Top-5 tf-idf terms per document.
+
+    Scoring uses the raw-ratio idf variant tf * (N+1)/(df+1) rather than a
+    logarithmic idf DELIBERATELY: ln() is transcendental and libm results
+    differ in the last ulp between the JVM and DuckDB, which would make the
+    round-to-4 oracle hash flaky at rounding boundaries; IEEE-754 division
+    is correctly rounded on both engines, so the ratio is bit-identical.
+    Ranking is unaffected (x -> ln is monotone).
+
+    Scale shape: one shuffle to groupBy (doc_id, term) with map-side
+    combine, then two window passes — df counted over a term-partitioned
+    window (vocabulary can be billions of distinct tokens at web scale, so
+    the df table is NOT broadcast), top-k over a doc-partitioned window
+    that prunes to <= k rows per doc. No join, no cartesian; the corpus
+    scalar N rides in via a broadcast single-row cross join.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    scored = (
+        tf.withColumn("df", F.count("*").over(w_term))
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.col("n_docs") + F.lit(1.0))
+            / (F.col("df") + F.lit(1.0)),
+        )
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", F.round("tfidf", 4).alias("tfidf"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (SQL-expressible dedup variant)
 # ---------------------------------------------------------------------------
 
@@ -2502,7 +2572,7 @@ def video_frame_sample(spark, sf_dir):
 
 _DRIVER_FIRST = [
     "bpe_pretokenize", "video_frame_sample",          # never driver-checked
-    "semdedup_cells",                                 # new in r04
+    "semdedup_cells", "tfidf_topk_terms",             # new in r04
     "ann_ivf_topk", "bloom_dedup_new_docs",           # green in r02, not r03
     "events_asof_orders", "orders_events_range_7d",
     "pii_scrub", "repetition_quality",
