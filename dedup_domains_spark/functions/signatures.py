@@ -37,6 +37,17 @@ SIGNATURE_STRUCT = StructType([
     StructField("simhash", LongType()),
     StructField("probes", ArrayType(LongType())),
 ])
+
+# Containment needs only sizes + bottom-s probes; Catalyst cannot prune
+# columns INSIDE a UDF, so a containment-only caller that used the full
+# struct would pay the 128-permutation MinHash loop and the SimHash bit
+# transpose for fields it drops. add_signatures(probes_only=True) emits
+# this narrow struct instead — the kernel reduces to tokenize + head-slice.
+PROBE_STRUCT = StructType([
+    StructField("n_tokens", IntegerType()),
+    StructField("n_shingles", IntegerType()),
+    StructField("probes", ArrayType(LongType())),
+])
 # NOTE: the full shingle set is deliberately NOT emitted/cached — materializing
 # ~500 longs/doc through Arrow and the block cache costs far more (heap
 # pressure poisons every downstream stage) than re-deriving postings with
@@ -221,8 +232,46 @@ def _batch_signatures_arrow(arr, cfg: DedupConfig):
     )
 
 
-def add_signatures(df: DataFrame, cfg: DedupConfig, repartition: int | None = None) -> DataFrame:
-    """Attach (n_tokens, n_shingles, minhash, simhash, probes).
+def _batch_probes_arrow(arr, cfg: DedupConfig):
+    """Probes-only Arrow batch: tokenize + per-doc bottom-s head-slice, no
+    MinHash permutation loop, no SimHash bit transpose. Probe values are
+    BIT-IDENTICAL to _batch_signatures_arrow's (same tokenizer, same
+    head-slice of the same sorted shingle segments), so a probes-only
+    signature table is interchangeable with the full one for containment."""
+    import pyarrow as pa
+
+    from dedup_domains_spark.functions.tokenize_np import (
+        batch_shingle_segments_arrow,
+    )
+
+    flat, offsets, counts, n_tokens = batch_shingle_segments_arrow(
+        arr, cfg.shingle_k
+    )
+    take = np.minimum(counts, cfg.containment_probe_shingles)
+    probe_vals = flat.view(np.int64)[_segment_take_indices(offsets, take)]
+    probes = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(take))).astype(np.int32)),
+        pa.array(probe_vals, type=pa.int64()),
+    )
+    return pa.StructArray.from_arrays(
+        [
+            pa.array(n_tokens.astype(np.int32)),
+            pa.array(counts.astype(np.int32)),
+            probes,
+        ],
+        names=["n_tokens", "n_shingles", "probes"],
+    )
+
+
+def add_signatures(
+    df: DataFrame, cfg: DedupConfig, repartition: int | None = None,
+    probes_only: bool = False,
+) -> DataFrame:
+    """Attach (n_tokens, n_shingles, minhash, simhash, probes) — or, with
+    ``probes_only=True``, just (n_tokens, n_shingles, probes) for callers
+    that never read minhash/simhash (the containment scale path): the
+    kernel then skips the 128-permutation MinHash loop and the SimHash bit
+    transpose entirely.
 
     Repartitions before the UDF by default: upstream can arrive arbitrarily
     unbalanced — AQE coalesces small projections, and a parquet scan of a
@@ -242,9 +291,14 @@ def add_signatures(df: DataFrame, cfg: DedupConfig, repartition: int | None = No
 
     from pyspark.sql.functions import arrow_udf
 
-    @arrow_udf(SIGNATURE_STRUCT)
-    def _sig(texts):
-        return _batch_signatures_arrow(texts, cfg)
+    if probes_only:
+        @arrow_udf(PROBE_STRUCT)
+        def _sig(texts):
+            return _batch_probes_arrow(texts, cfg)
+    else:
+        @arrow_udf(SIGNATURE_STRUCT)
+        def _sig(texts):
+            return _batch_signatures_arrow(texts, cfg)
 
     return (
         df.withColumn("_sig", _sig(F.col("content")))

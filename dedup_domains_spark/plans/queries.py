@@ -1838,8 +1838,11 @@ def _containment_over_docs(spark, sf_dir, pairs_fn):
     )
     # fan-out node: probe collection (toPandas), probe explode, and the
     # container-size join all read sig — without materialization the
-    # signature UDF runs 3x (once per consumer)
-    sig = _materialize(add_signatures(df.select("uid", "content"), cfg))
+    # signature UDF runs 3x (once per consumer). probes_only: containment
+    # never reads minhash/simhash, so the kernel skips the 128-perm loop.
+    sig = _materialize(
+        add_signatures(df.select("uid", "content"), cfg, probes_only=True)
+    )
     ids = df.select("uid", "doc_id")
     pairs = pairs_fn(df, sig, cfg)
     return (

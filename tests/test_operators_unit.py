@@ -84,6 +84,29 @@ def test_minhash_estimate_tracks_true_jaccard():
         assert abs(est - true_j) < 0.2, (a, b, kind, true_j, est)
 
 
+def test_probes_only_batch_matches_full_signatures():
+    """_batch_probes_arrow must be bit-identical to the full path on the
+    fields it shares (n_tokens, n_shingles, probes) — containment treats a
+    probes-only signature table as interchangeable with the full one."""
+    import pyarrow as pa
+
+    from dedup_domains_spark.functions.signatures import (
+        _batch_probes_arrow, _batch_signatures_arrow,
+    )
+
+    cfg = DedupConfig()
+    corpus = gen_code_corpus(120)
+    arr = pa.array(corpus.files.content.tolist(), type=pa.string())
+    full = _batch_signatures_arrow(arr, cfg)
+    probe = _batch_probes_arrow(arr, cfg)
+    for fld in ("n_tokens", "n_shingles", "probes"):
+        assert probe.field(fld).equals(full.field(fld)), fld
+    assert [f.name for f in probe.type] == ["n_tokens", "n_shingles", "probes"]
+    # empty batch shape
+    empty = _batch_probes_arrow(pa.array([], type=pa.string()), cfg)
+    assert len(empty) == 0
+
+
 # ---------------------------------------------------------------------------
 # Suffix array (operators/suffix_array.py)
 # ---------------------------------------------------------------------------
