@@ -1,0 +1,127 @@
+"""Scale validation: full pipeline over a large planted corpus (default
+960k rows, ~2 GB content) on a multi-JVM local-cluster, reporting wall,
+files/s, per-class planted dup-pair recall, and the sha256 invariant —
+the BENCH.md "Scale validation" table's reproduction script.
+
+Usage:
+    PYTHONPATH=/root/repo python tools/scale_validate.py [--rows 960000]
+        [--workers 4] [--cores 8] [--broadcast-probes]
+
+Recall is computed DISTRIBUTED (joins of the planted-pair table against the
+cluster map), not via a driver-side dict — the 400-row pytest does the
+dict version; at 10^6+ rows the collect would be the only non-distributed
+step in the run, so it is a join here (the shape that holds at 10^12).
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=960_000)
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--broadcast-probes", action="store_true",
+                    help="use the broadcast-probe containment regime "
+                    "(default: shuffle join, the >10^6-doc configuration)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from dedup_domains_spark import DedupConfig, get_spark
+    from dedup_domains_spark.datagen import gen_code_corpus
+    from dedup_domains_spark.plans.pipeline import (
+        assert_sha_invariant, run_pipeline,
+    )
+    from dedup_domains_spark.sources.code_corpus import with_row_identity
+
+    cache = f"/tmp/dedup_scale_corpus_{args.rows}.parquet"
+    pairs_cache = f"/tmp/dedup_scale_pairs_{args.rows}.parquet"
+    if not (os.path.exists(cache) and os.path.exists(pairs_cache)):
+        corpus = gen_code_corpus(args.rows)
+        # 8k-row groups: the multi-row-group layout a real table writer
+        # produces, so the scan splits across executors (see bench.py)
+        corpus.files.to_parquet(cache, row_group_size=8192)
+        corpus.expected.to_parquet(pairs_cache.replace("pairs", "expected"))
+        corpus.pairs.to_parquet(pairs_cache)
+
+    par = args.workers * args.cores
+    spark = get_spark(
+        "scale-validate", parallelism=par, shuffle_partitions=par,
+        master=f"local-cluster[{args.workers},{args.cores},6144]",
+        extra_conf={"spark.executor.memory": "4g"},
+    )
+    spark.sparkContext.setCheckpointDir("/dev/shm/spark-tmp/ckpt_scale")
+    cfg = DedupConfig(containment_broadcast_probes=args.broadcast_probes)
+
+    # warm JIT/python workers so the timed run measures steady state
+    warm = spark.createDataFrame(gen_code_corpus(300).files)
+    run_pipeline(spark, warm, cfg).survivors.count()
+
+    df = spark.read.parquet(cache)
+    n = df.count()
+    t0 = time.time()
+    res = run_pipeline(spark, df, cfg)
+    n_surv = res.survivors.count()
+    res.cluster_map.count()
+    wall = time.time() - t0
+
+    # --- distributed per-class recall over the planted pairs ---
+    # planted uid (row index) -> engine uid via the expected side table
+    exp = spark.read.parquet(pairs_cache.replace("pairs", "expected"))
+    ident = (
+        with_row_identity(df.join(
+            exp.select("repo", "path", "commit",
+                       F.col("uid").alias("planted_uid")),
+            ["repo", "path", "commit"]))
+        .select("planted_uid", F.col("uid").alias("engine_uid"))
+    )
+    cmap = res.cluster_map.select(
+        F.col("uid").alias("engine_uid"), "cluster_id"
+    ).join(ident, "engine_uid").select("planted_uid", "cluster_id")
+    pairs = spark.read.parquet(pairs_cache)
+    joined = (
+        pairs
+        .join(cmap.select(F.col("planted_uid").alias("id_a"),
+                          F.col("cluster_id").alias("_ca")), "id_a")
+        .join(cmap.select(F.col("planted_uid").alias("id_b"),
+                          F.col("cluster_id").alias("_cb")), "id_b")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_ca") == F.col("_cb")).cast("long")).alias("hit"),
+        )
+    )
+    per_kind = {r["kind"]: (r["hit"], r["n"]) for r in joined.collect()}
+    tot_hit = sum(h for h, _ in per_kind.values())
+    tot_n = sum(c for _, c in per_kind.values())
+    n_pairs = pairs.count()
+    sha_violations = assert_sha_invariant(res)
+
+    print(json.dumps({
+        "rows": n, "wall_sec": round(wall, 1),
+        "files_per_sec": round(n / wall, 1),
+        "survivors": n_surv,
+        "recall": round(tot_hit / max(tot_n, 1), 4),
+        "recall_per_kind": {
+            k: round(h / max(c, 1), 4) for k, (h, c) in sorted(per_kind.items())
+        },
+        "pairs_checked": tot_n, "pairs_planted": n_pairs,
+        "sha_violations": sha_violations,
+        "cc_iterations": res.metrics_dict.get("cc_iterations")
+        if hasattr(res, "metrics_dict") else None,
+        "mode": f"local-cluster[{args.workers},{args.cores}] "
+                f"broadcast_probes={args.broadcast_probes}",
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
