@@ -1,0 +1,81 @@
+"""Unit tests for bench.py's scaling-round arithmetic — no Spark session.
+
+The gate evidence the driver reads (BENCH_r{N}.json scaling block) is
+computed by _round_summary/_control_drift; these pin the ratio definitions
+(both gate metrics weak-style, host-normalized by the conservative
+max-of-pre/post cache control, capped at 1.0) and the stability rule so a
+refactor can't silently change what `gate_met` means.
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def _ctl(cache_eff: float, stream_eff: float = 0.5, base: float = 100.0):
+    return {
+        "stream": {"n_rate": base, "fourn_rate": base * 4 * stream_eff,
+                   "efficiency": stream_eff},
+        "cache": {"n_rate": base, "fourn_rate": base * 4 * cache_eff,
+                  "efficiency": cache_eff},
+    }
+
+
+def test_round_summary_weak_style_gate_metrics():
+    legs = {
+        "fourn": {"fps": 4000.0, "kernel_fps": 40000.0, "rows": 240000},
+        "weak_n": {"fps": 1250.0, "kernel_fps": 12500.0, "rows": 60000},
+        # round-0 strong legs present: strong ratios also computed
+        "n": {"fps": 1600.0, "kernel_fps": 11000.0, "rows": 240000},
+    }
+    s = bench._round_summary(legs, _ctl(0.9), _ctl(0.8))
+    assert s["weak_efficiency"] == 0.8          # 4000 / (4 * 1250)
+    assert s["kernel_weak_efficiency"] == 0.8   # 40000 / (4 * 12500)
+    assert s["efficiency"] == 0.625             # 4000 / (4 * 1600)
+    assert s["kernel_efficiency"] == 0.909      # 40000 / (4 * 11000)
+    # conservative normalizer: max(pre, post) cache efficiency = 0.9
+    assert s["weak_efficiency_host_normalized"] == 0.889
+    assert s["kernel_weak_efficiency_host_normalized"] == 0.889
+    assert s["window_stable"] is True
+
+
+def test_round_summary_without_strong_legs():
+    # rounds after 0 carry no "n" leg: strong ratios are None, gate
+    # metrics still complete
+    legs = {
+        "fourn": {"fps": 4000.0, "kernel_fps": 40000.0, "rows": 240000},
+        "weak_n": {"fps": 1000.0, "kernel_fps": 10000.0, "rows": 60000},
+    }
+    s = bench._round_summary(legs, _ctl(1.0), _ctl(1.0))
+    assert s["efficiency"] is None
+    assert s["kernel_efficiency"] is None
+    assert s["kernel_efficiency_host_normalized"] is None
+    assert s["weak_efficiency"] == 1.0
+    assert s["kernel_weak_efficiency"] == 1.0
+
+
+def test_normalization_caps_at_one():
+    legs = {
+        "fourn": {"fps": 4400.0, "kernel_fps": 44000.0, "rows": 240000},
+        "weak_n": {"fps": 1000.0, "kernel_fps": 10000.0, "rows": 60000},
+    }
+    # raw 1.1, control 0.7 -> uncapped 1.57; the claim is capped at 1.0
+    s = bench._round_summary(legs, _ctl(0.7), _ctl(0.7))
+    assert s["weak_efficiency"] == 1.1
+    assert s["weak_efficiency_host_normalized"] == 1.0
+    assert s["kernel_weak_efficiency_host_normalized"] == 1.0
+
+
+def test_control_drift_flags_turned_window():
+    pre, post = _ctl(0.9, base=100.0), _ctl(0.9, base=100.0)
+    assert bench._control_drift(pre, post) == 1.0
+    # one rate moving >2x pre->post flips stability
+    post_turned = _ctl(0.9, base=100.0)
+    post_turned["stream"]["fourn_rate"] = pre["stream"]["fourn_rate"] * 2.5
+    legs = {
+        "fourn": {"fps": 4000.0, "kernel_fps": 40000.0, "rows": 240000},
+        "weak_n": {"fps": 1000.0, "kernel_fps": 10000.0, "rows": 60000},
+    }
+    s = bench._round_summary(legs, pre, post_turned)
+    assert s["control_drift"] == 2.5
+    assert s["window_stable"] is False
