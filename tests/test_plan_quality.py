@@ -322,3 +322,21 @@ def test_line_scrub_flagged_set_broadcasts(spark):
     plan = _formatted(QUERIES["line_boilerplate_scrub"].spark_fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tfidf_vocab_never_broadcast_and_topk_prunes_early(spark):
+    """tfidf_topk_terms at web scale: the document-frequency table is the
+    VOCABULARY (billions of distinct tokens) so it must ride a
+    term-partitioned window, never a broadcast join; the only broadcast
+    allowed is the single-row corpus count (IdentityBroadcastMode nested
+    loop). The top-k must prune map-side: a Partial WindowGroupLimit below
+    the doc-key Exchange, so at most k rows per doc reach the shuffle."""
+    from dedup_domains_spark.plans.queries import QUERIES
+
+    plan = _formatted(QUERIES["tfidf_topk_terms"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" not in plan, plan
+    # exactly one nested-loop node in the plan TREE (the string repeats in
+    # the node-detail section, so count the tree line, not the bare name)
+    assert plan.count("BroadcastNestedLoopJoin Inner BuildRight") == 1, plan
+    assert "IdentityBroadcastMode" in plan, plan
+    assert "row_number(), 5, Partial" in plan, plan
