@@ -34,6 +34,20 @@ def main() -> None:
     ap.add_argument("--broadcast-probes", action="store_true",
                     help="use the broadcast-probe containment regime "
                     "(default: shuffle join, the >10^6-doc configuration)")
+    ap.add_argument("--executor-mem-mb", type=int, default=4096,
+                    help="executor heap; the worker allocation is sized to "
+                    "fit it. The 240k-960k runs fit 4g; 1.92M rows on the "
+                    "same FOUR executors needs ~2x the heap (measured OOM "
+                    "at 4g) — on a real cluster data growth is absorbed by "
+                    "MORE executors, which this one-box harness cannot add, "
+                    "so heap stands in for fleet size here.")
+    ap.add_argument("--shuffle-partitions", type=int, default=0,
+                    help="0 = derive from data: ~25k rows per shuffle "
+                    "partition, floored at the core count. Partition count "
+                    "must scale with DATA, not cores — a fixed 32 puts 60k "
+                    "rows of shuffle state per partition at 1.92M rows and "
+                    "OOMs a 4g executor heap (measured), exactly the "
+                    "sizing rule a 10^12-file cluster job applies.")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -56,10 +70,12 @@ def main() -> None:
         corpus.pairs.to_parquet(pairs_cache)
 
     par = args.workers * args.cores
+    shuffle = args.shuffle_partitions or max(par, args.rows // 25_000)
+    worker_mb = args.executor_mem_mb + 2048
     spark = get_spark(
-        "scale-validate", parallelism=par, shuffle_partitions=par,
-        master=f"local-cluster[{args.workers},{args.cores},6144]",
-        extra_conf={"spark.executor.memory": "4g"},
+        "scale-validate", parallelism=par, shuffle_partitions=shuffle,
+        master=f"local-cluster[{args.workers},{args.cores},{worker_mb}]",
+        extra_conf={"spark.executor.memory": f"{args.executor_mem_mb}m"},
     )
     spark.sparkContext.setCheckpointDir("/dev/shm/spark-tmp/ckpt_scale")
     cfg = DedupConfig(containment_broadcast_probes=args.broadcast_probes)
@@ -121,7 +137,8 @@ def main() -> None:
         "cc_iterations": res.metrics_dict.get("cc_iterations")
         if hasattr(res, "metrics_dict") else None,
         "mode": f"local-cluster[{args.workers},{args.cores}] "
-                f"broadcast_probes={args.broadcast_probes}",
+                f"broadcast_probes={args.broadcast_probes} "
+                f"shuffle_partitions={shuffle}",
     }))
     spark.stop()
 
