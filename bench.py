@@ -12,14 +12,16 @@ a deterministic synthetic code corpus, and prints ONE JSON line:
    ..., "efficiency": ..., "kernel_efficiency": ...}}
 
 Efficiency = fps(4N) / (4 * fps(N)); the BASELINE.json gate is >= 0.8,
-evidenced by two WEAK-style ratios (matched per-core load, the way a 4x
+asserted on two RAW weak-style ratios (matched per-core load, the way a 4x
 executor cluster is actually loaded): the full pipeline and the signature
-kernel (the stage that dominates core-seconds at real scale), both
-host-normalized by the window's own bracketing control. Strong-style
-ratios (same corpus both sides) are measured in round 0 and reported
-alongside; the full pipeline at sandbox SF is latency-bound and the
-strong kernel pair measures the guest's aggregate-throughput ceiling
-rather than the engine (see BENCH.md weather map). Scaling runs
+kernel (the stage that dominates core-seconds at real scale), both measured
+in one stable paired window. Host-normalized values (divided by the
+window's own bracketing numpy control) are reported alongside as context,
+never substituted for the raw gate. Strong-style ratios (same corpus both
+sides) are measured in round 0 and reported alongside; the full pipeline
+at sandbox SF is latency-bound and the strong kernel pair measures the
+guest's aggregate-throughput ceiling rather than the engine (see BENCH.md
+weather map). Scaling runs
 execute in subprocesses so each gets a fresh JVM topology. All legs of one
 round (including the numpy host control) run back-to-back in one weather
 window; rounds repeat until the gate is evidenced or the budget expires,
@@ -116,6 +118,29 @@ def host_control(secs: float = 12.0) -> dict:
             "efficiency": round(rates[32] / (4.0 * rates[8]), 3),
         }
     return out
+
+
+def _kernel_reps(n_rows: int, parallelism: int) -> int:
+    """Best-of-N draw count for the kernel timing of one scaling leg.
+
+    Both GATED legs (4N on BENCH_ROWS, weak-N on BENCH_ROWS/4) carry the
+    same per-core load and therefore the same draw count — a min-statistic
+    with asymmetric draws would bias the gated ratio (ADVICE r04 item 2).
+    Only the strong 240k-at-8-cores leg (4x the per-core work, round-0
+    reported-not-gated ratios) drops to 2 reps for wall budget."""
+    per_core_rows = n_rows // max(parallelism, 1)
+    return 2 if per_core_rows > 10_000 else 3
+
+
+def _gate_ok(s: dict) -> bool:
+    """The BASELINE gate as written: RAW weak-style pipeline AND RAW
+    weak-style kernel efficiency >= 0.8, inside one stable paired window.
+    Host-normalized values are context, never part of this predicate."""
+    return bool(
+        s["window_stable"]
+        and (s["weak_efficiency"] or 0.0) >= GATE
+        and (s["kernel_weak_efficiency"] or 0.0) >= GATE
+    )
 
 
 def _ensure_corpus(rows: int = BENCH_ROWS) -> str:
@@ -228,11 +253,15 @@ def _scaling_child(parallelism: int, corpus: str, n_workers: int = 0,
         ident.count()
         sig = add_signatures(ident, cfg, repartition=0)
         kernel_wall = float("inf")
-        # rep 1 carries python-worker/page-cache warm-up at this corpus
-        # size; take best of the remaining reps. The 8-core side gets one
-        # timed rep (each rep is 4x the wall of a 32-core rep — two reps
-        # there would double the round cost for the same ratio)
-        reps = 2 if parallelism <= 8 else 3
+        # EQUAL draws on both GATED legs (ADVICE r04 item 2): best-of-N is a
+        # min-statistic, so giving the numerator leg more reps than the
+        # denominator leg biases the gated ratio upward under ±30-45%
+        # run-to-run noise. The weak-N leg (BENCH_ROWS/4 on 8 cores) has the
+        # same per-core load — and roughly the same wall — as the 4N leg, so
+        # both get best-of-3. Only the strong 240k-at-8-cores leg (4x the
+        # per-core work, round 0 only, feeding reported-not-gated strong
+        # ratios) keeps 2 reps for wall budget.
+        reps = _kernel_reps(n, parallelism)
         for _ in range(reps):
             t0 = time.time()
             sig.select(F.sum("n_tokens")).collect()
@@ -350,9 +379,10 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
     so every efficiency is computed within one weather window, normalized by
     that window's own substrate measurement, and flagged unstable when the
     substrate moved >2x mid-round. Rounds repeat until the BASELINE gate
-    (host-normalized weak-style pipeline >= 0.8 AND host-normalized
-    weak-style kernel >= 0.8, in a STABLE round) is evidenced, the round
-    cap is hit, or the budget runs out;
+    (RAW weak-style pipeline >= 0.8 AND RAW weak-style kernel >= 0.8, in a
+    STABLE round — the criterion as BASELINE.json states it, no
+    normalization) is evidenced, the round cap is hit, or the budget runs
+    out;
     the best paired round is reported (stable rounds always outrank
     unstable), with every round's summary alongside for honesty.
     """
@@ -412,6 +442,13 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
                 "efficiency": summary["efficiency"],
                 "efficiency_host_normalized": summary["efficiency_host_normalized"],
                 "kernel_n_fps": legs["n"]["kernel_fps"],
+                # the 4N-side kernel fps from THIS round's own leg, so every
+                # strong-kernel field is recomputable from one window
+                # (ADVICE r04 item 4: the top-level kernel_fourn_fps used to
+                # come from the BEST round — a different window — making
+                # kernel_fourn_fps/(4*kernel_n_fps) contradict the reported
+                # kernel_efficiency)
+                "kernel_fourn_fps": legs["fourn"]["kernel_fps"],
                 "kernel_efficiency": summary["kernel_efficiency"],
                 "kernel_efficiency_host_normalized":
                     summary["kernel_efficiency_host_normalized"],
@@ -422,17 +459,18 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
         # best round = the one whose WORST gate metric is best (both gate
         # criteria live in the same round, or it doesn't count); a stable
         # round always outranks an unstable one — an unstable round's
-        # ratios are weather artifacts in either direction
+        # ratios are weather artifacts in either direction. Ranked on the
+        # RAW ratios (ADVICE r04 item 1): BASELINE.json's criterion is
+        # literally "scaling efficiency >= 0.8", so gate_met asserts the raw
+        # numbers and the host-normalized values are reported alongside,
+        # never substituted for a raw pass.
         def _score(s: dict) -> tuple:
-            kn = s["kernel_weak_efficiency_host_normalized"] or 0.0
-            wn = s["weak_efficiency_host_normalized"] or 0.0
-            return (s["window_stable"], min(wn, kn))
+            kw = s["kernel_weak_efficiency"] or 0.0
+            ww = s["weak_efficiency"] or 0.0
+            return (s["window_stable"], min(ww, kw))
         if best_round is None or _score(summary) > _score(best_round["summary"]):
             best_round = {"summary": summary, "legs": legs}
-        bs = best_round["summary"]
-        if (bs["window_stable"]
-                and (bs["weak_efficiency_host_normalized"] or 0.0) >= GATE
-                and (bs["kernel_weak_efficiency_host_normalized"] or 0.0) >= GATE):
+        if _gate_ok(best_round["summary"]):
             break  # gate evidenced by one clean paired round — stop burning time
 
     # the strong ratio is measured only in rounds with a full N-side
@@ -494,8 +532,11 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
         "efficiency": strong.get("efficiency"),
         "strong_source": strong.get("source"),
         "strong_window_stable": strong.get("window_stable"),
+        # strong-kernel fields all from ONE window (round 0), so
+        # kernel_fourn_fps / (4 * kernel_n_fps) recomputes exactly the
+        # reported kernel_efficiency (ADVICE r04 item 4)
         "kernel_n_fps": round0_strong.get("kernel_n_fps"),
-        "kernel_fourn_fps": legs["fourn"]["kernel_fps"],
+        "kernel_fourn_fps": round0_strong.get("kernel_fourn_fps"),
         "kernel_efficiency": round0_strong.get("kernel_efficiency"),
         "kernel_efficiency_host_normalized":
             round0_strong.get("kernel_efficiency_host_normalized"),
@@ -514,6 +555,9 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
         "weak_n_sec": legs["weak_n"]["wall_sec"],
         "weak_n_fps": legs["weak_n"]["fps"],
         "weak_kernel_n_fps": legs["weak_n"].get("kernel_fps"),
+        # the 4N-side kernel fps of the SAME best round, so the gated
+        # kernel_weak_efficiency is recomputable from the artifact
+        "weak_kernel_fourn_fps": legs["fourn"].get("kernel_fps"),
         "weak_efficiency": s["weak_efficiency"],
         "weak_efficiency_host_normalized": s["weak_efficiency_host_normalized"],
         "kernel_weak_efficiency": s["kernel_weak_efficiency"],
@@ -524,19 +568,22 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
         "host_control": s["host_control"],
         "efficiency_host_normalized": strong.get("efficiency_host_normalized"),
         "rounds_run": len(all_rounds),
-        # self-description: True when the best stable paired round carries
-        # both BASELINE gate metrics >= 0.8 — weak-style pipeline AND
-        # weak-style kernel, both HOST-NORMALIZED by the same window's
-        # bracketing control (raw ratios always reported alongside). The
-        # north rule's >=0.8 is defined on a cluster that actually has 4x
-        # capacity at 4N; on this hypervisor guest the control measures how
-        # much of that 4x exists in the window, so normalized-within-a-
-        # stable-window is the honest translation, applied to both metrics
-        # symmetrically and measured weak-style for both (matched per-core
-        # load — the way a cluster of 4x executors is actually loaded).
-        # False = no window this run delivered it; the loop reports the
-        # weather it got, it does not manufacture ratios.
-        "gate_met": bool(
+        # self-description: gate_met is True ONLY when the best stable
+        # paired round carries both BASELINE gate metrics >= 0.8 RAW —
+        # weak-style pipeline AND weak-style kernel, no host normalization
+        # in the asserted criterion (ADVICE r04 item 1: BASELINE.json's
+        # metric is literally "throughput scaling efficiency >= 0.8", so a
+        # normalized pass must never masquerade as a raw one). The
+        # host-normalized values stay reported alongside as *context* for
+        # windows where the hypervisor guest did not deliver 4x substrate at
+        # 4N (see BENCH.md weather map), and gate_basis names the asserted
+        # criterion machine-readably next to gate_met. False = no window
+        # this run delivered the raw gate; the loop reports the weather it
+        # got, it does not manufacture ratios.
+        "gate_basis": "raw-weak-pair-stable-window",
+        "gate_met": _gate_ok(s),
+        # the r01-r04 normalized reading, reported-not-gated
+        "gate_met_host_normalized": bool(
             s["window_stable"]
             and (s["weak_efficiency_host_normalized"] or 0.0) >= GATE
             and (s["kernel_weak_efficiency_host_normalized"] or 0.0) >= GATE
@@ -591,13 +638,18 @@ def main() -> None:
     # mid-JSON (an unparseable artifact is the one failure mode this round
     # must not repeat)
     if len(line) > 1900 and "scaling" in result:
+        # keep the legacy normalized-kernel key (r01-r03 artifacts/consumers
+        # keyed on it — ADVICE r04 item 4) and both gate fields + basis in
+        # the shed set, so even a shed line carries the full gate story
         result["scaling"] = {
             k: result["scaling"].get(k)
             for k in ("weak_efficiency", "weak_efficiency_host_normalized",
                       "kernel_weak_efficiency",
                       "kernel_weak_efficiency_host_normalized", "efficiency",
+                      "kernel_efficiency", "kernel_efficiency_host_normalized",
                       "window_stable", "control_drift", "rounds_run",
-                      "gate_met", "fourn_fps", "n_fps")
+                      "gate_basis", "gate_met", "gate_met_host_normalized",
+                      "fourn_fps", "n_fps")
         }
         line = json.dumps(result)
     print(line)

@@ -66,6 +66,50 @@ def test_normalization_caps_at_one():
     assert s["kernel_weak_efficiency_host_normalized"] == 1.0
 
 
+def test_gate_is_raw_not_normalized():
+    # ADVICE r04 item 1: the gate asserts the RAW weak ratios. A round whose
+    # raw ratios miss 0.8 must NOT pass the gate even when normalization
+    # lifts it past 0.8 (starved-window control of 0.6 lifts 0.65 -> 1.0).
+    legs = {
+        "fourn": {"fps": 2600.0, "kernel_fps": 26000.0, "rows": 240000},
+        "weak_n": {"fps": 1000.0, "kernel_fps": 10000.0, "rows": 60000},
+    }
+    s = bench._round_summary(legs, _ctl(0.6), _ctl(0.6))
+    assert s["weak_efficiency"] == 0.65
+    assert s["weak_efficiency_host_normalized"] == 1.0
+    assert bench._gate_ok(s) is False
+    # and a raw pass in a stable window IS the gate
+    legs_pass = {
+        "fourn": {"fps": 3300.0, "kernel_fps": 33000.0, "rows": 240000},
+        "weak_n": {"fps": 1000.0, "kernel_fps": 10000.0, "rows": 60000},
+    }
+    s2 = bench._round_summary(legs_pass, _ctl(0.9), _ctl(0.9))
+    assert s2["weak_efficiency"] == 0.825
+    assert bench._gate_ok(s2) is True
+
+
+def test_gate_requires_stable_window():
+    legs = {
+        "fourn": {"fps": 4000.0, "kernel_fps": 40000.0, "rows": 240000},
+        "weak_n": {"fps": 1000.0, "kernel_fps": 10000.0, "rows": 60000},
+    }
+    post = _ctl(0.9)
+    post["stream"]["fourn_rate"] *= 3  # weather turned mid-round
+    s = bench._round_summary(legs, _ctl(0.9), post)
+    assert s["weak_efficiency"] == 1.0
+    assert s["window_stable"] is False
+    assert bench._gate_ok(s) is False
+
+
+def test_kernel_reps_symmetric_on_gated_legs():
+    # ADVICE r04 item 2: equal draws on both legs of the gated ratio —
+    # 240k on 32 cores and 60k on 8 cores have the same per-core load and
+    # the same rep count; only the strong 240k-on-8-cores leg drops to 2
+    assert bench._kernel_reps(240_000, 32) == bench._kernel_reps(60_000, 8)
+    assert bench._kernel_reps(240_000, 32) == 3
+    assert bench._kernel_reps(240_000, 8) == 2
+
+
 def test_control_drift_flags_turned_window():
     pre, post = _ctl(0.9, base=100.0), _ctl(0.9, base=100.0)
     assert bench._control_drift(pre, post) == 1.0

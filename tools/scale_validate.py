@@ -61,13 +61,21 @@ def main() -> None:
 
     cache = f"/tmp/dedup_scale_corpus_{args.rows}.parquet"
     pairs_cache = f"/tmp/dedup_scale_pairs_{args.rows}.parquet"
-    if not (os.path.exists(cache) and os.path.exists(pairs_cache)):
+    expected_cache = pairs_cache.replace("pairs", "expected")
+    # the existence check covers ALL THREE tables (ADVICE r04: a run killed
+    # between writes used to leave pairs present / expected missing, and the
+    # next run crashed at the expected-side read instead of regenerating),
+    # and each table is written to a temp name then renamed so a killed run
+    # never leaves a partial file behind the final name
+    if not all(os.path.exists(p) for p in (cache, pairs_cache, expected_cache)):
         corpus = gen_code_corpus(args.rows)
         # 8k-row groups: the multi-row-group layout a real table writer
         # produces, so the scan splits across executors (see bench.py)
-        corpus.files.to_parquet(cache, row_group_size=8192)
-        corpus.expected.to_parquet(pairs_cache.replace("pairs", "expected"))
-        corpus.pairs.to_parquet(pairs_cache)
+        corpus.files.to_parquet(cache + ".tmp", row_group_size=8192)
+        corpus.expected.to_parquet(expected_cache + ".tmp")
+        corpus.pairs.to_parquet(pairs_cache + ".tmp")
+        for p in (cache, expected_cache, pairs_cache):
+            os.replace(p + ".tmp", p)
 
     par = args.workers * args.cores
     shuffle = args.shuffle_partitions or max(par, args.rows // 25_000)
@@ -94,7 +102,7 @@ def main() -> None:
 
     # --- distributed per-class recall over the planted pairs ---
     # planted uid (row index) -> engine uid via the expected side table
-    exp = spark.read.parquet(pairs_cache.replace("pairs", "expected"))
+    exp = spark.read.parquet(expected_cache)
     ident = (
         with_row_identity(df.join(
             exp.select("repo", "path", "commit",
@@ -122,13 +130,22 @@ def main() -> None:
     tot_hit = sum(h for h, _ in per_kind.values())
     tot_n = sum(c for _, c in per_kind.values())
     n_pairs = pairs.count()
+    # recall's denominator is the PLANTED pair count, not the joined one
+    # (ADVICE r04 item 3): a planted row missing from cluster_map would
+    # silently drop its pairs out of a tot_n denominator and overstate
+    # recall, so pairs that fail the two cluster-map joins count as misses —
+    # and a mismatch is also reported loudly rather than left to a footnote
+    if tot_n != n_pairs:
+        print(f"WARNING: {n_pairs - tot_n} planted pairs missing from "
+              f"cluster_map (checked {tot_n} of {n_pairs}) — counted as "
+              "misses in recall", file=sys.stderr)
     sha_violations = assert_sha_invariant(res)
 
     print(json.dumps({
         "rows": n, "wall_sec": round(wall, 1),
         "files_per_sec": round(n / wall, 1),
         "survivors": n_surv,
-        "recall": round(tot_hit / max(tot_n, 1), 4),
+        "recall": round(tot_hit / max(n_pairs, 1), 4),
         "recall_per_kind": {
             k: round(h / max(c, 1), 4) for k, (h, c) in sorted(per_kind.items())
         },
