@@ -46,8 +46,15 @@ BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "240000"))
 # scaling rounds: keep going until the efficiency gate is evidenced or the
 # budget runs out (the r02 lesson: ONE round lands in ONE hypervisor weather
 # window, and a starved window produces ratios that say nothing — see
-# BENCH.md host-control experiment and the memory note on host noise)
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "12"))
+# BENCH.md host-control experiment and the memory note on host noise).
+# The round cap exists only as a runaway backstop ABOVE the wall budget:
+# the r04 driver run hit the old cap of 12 with ~20 min of budget left
+# while its raw weak ratio was climbing 0.70 -> 0.83 across the final
+# rounds — the weather was turning passable exactly when the cap fired.
+# 24 rounds x ~2.5-3.5 min fills the hour; the predictive budget guard
+# (run_scaling) still stops before an overrun and the loop still breaks
+# early the moment one stable round evidences the raw gate.
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "24"))
 SCALING_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "3600"))
 GATE = 0.8
 
