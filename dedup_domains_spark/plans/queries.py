@@ -2564,21 +2564,20 @@ def video_frame_sample(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Registry order = driver evidence order. The driver's correctness harness
-# checks the FIRST 50 registry entries; with 59 registered, the 9 that fall
-# off the tail must be ones with a prior-round green row. The 8 that lacked
-# a current driver row after r03 — two never checked (bpe_pretokenize,
-# video_frame_sample, VERDICT r03 item 2), six rotated out — move to the
-# front, as does r04's new query (semdedup_cells, no row yet by
-# definition); everything that rotates out the back is driver-green in
-# CORRECTNESS_r03, so across r03+r04 every query has a green driver row.
+# checks the FIRST 50 registry entries; with 60 registered, the 10 that fall
+# off the tail must be ones with a prior-round green row. Round 5: the 10
+# queries whose newest green row is CORRECTNESS_r03 (they sat at positions
+# 51-60 through r04) rotate to the front, so after r05 every one of the 60
+# has a green row in one of the two most recent artifacts (r04 or r05);
+# everything that rotates out the back is green in CORRECTNESS_r04.
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST = [
-    "bpe_pretokenize", "video_frame_sample",          # never driver-checked
-    "semdedup_cells", "tfidf_topk_terms",             # new in r04
-    "ann_ivf_topk", "bloom_dedup_new_docs",           # green in r02, not r03
-    "events_asof_orders", "orders_events_range_7d",
-    "pii_scrub", "repetition_quality",
+    "orders_pivot", "lineitem_cube", "events_sessionize",
+    "scalar_functions", "containment_probe_pairs",
+    "image_phash_dup_pairs", "audio_dup_pairs",
+    "ann_hyperplane_recall", "embedding_near_dup_pairs",
+    "suffix_containment_pairs",
 ]
 
 
