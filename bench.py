@@ -584,6 +584,17 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
             ctl_post = host_control(secs=6.0)
             summary = _round_summary(legs, ctl_pre, ctl_post)
             all_rounds.append(summary)
+            # one short progress line per round, to STDERR: live observability
+            # for long runs without touching the driver's stdout-tail JSON
+            # contract (the final JSON line still prints last, on stdout)
+            print(
+                f"[scaling] round {rnd}: weak={summary['weak_efficiency']} "
+                f"kweak={summary['kernel_weak_efficiency']} "
+                f"drift={summary['control_drift']} "
+                f"stable={summary['window_stable']} "
+                f"elapsed={round(time.time() - t_start)}s",
+                file=sys.stderr, flush=True,
+            )
             if rnd == 0:
                 # keep BOTH sides of round 0's strong ratio so the artifact is
                 # internally recomputable (the top-level fourn_* fields report
