@@ -123,3 +123,49 @@ def test_control_drift_flags_turned_window():
     s = bench._round_summary(legs, pre, post_turned)
     assert s["control_drift"] == 2.5
     assert s["window_stable"] is False
+
+
+def test_scaling_worker_timeout_and_death_paths():
+    """The persistent-worker handle must fail LOUDLY (not hang) when its
+    child wedges (queue stays empty past the deadline) or dies (EOF
+    sentinel) — a silent hang would eat the whole scaling budget and leave
+    the driver with no JSON artifact at all."""
+    import queue
+    import time
+
+    import pytest
+
+    w = object.__new__(bench._ScalingWorker)
+    w.par = 32
+    w.log_path = "/tmp/does-not-exist.log"
+    w._q = queue.Queue()
+
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="timed out"):
+        w._next_line(deadline=time.time() + 0.2)
+    assert time.time() - t0 < 5.0  # bounded wait, no hang
+
+    w._q.put(None)  # the reader thread's EOF sentinel
+    with pytest.raises(RuntimeError, match="died"):
+        w._next_line(deadline=time.time() + 1.0)
+
+
+def test_scaling_worker_ready_consumes_preamble():
+    """wait_ready must skip any non-READY preamble lines a child prints
+    before its session is up."""
+    import queue
+    import time
+
+    w = object.__new__(bench._ScalingWorker)
+    w.par = 8
+    w.log_path = "/tmp/does-not-exist.log"
+    w._q = queue.Queue()
+    w.ready = False
+    for ln in ("some jvm banner", "READY"):
+        w._q.put(ln)
+    w.wait_ready(timeout=1.0)
+    assert w.ready
+    # idempotent: a second call returns immediately without reading
+    t0 = time.time()
+    w.wait_ready(timeout=1.0)
+    assert time.time() - t0 < 0.1
