@@ -2,9 +2,19 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], then measures the full
-dedup pipeline AND its signature kernel at two cluster sizes — 4 executor
-JVMs x 2 cores (N=8) vs 4 executor JVMs x 8 cores (4N=32), via
-local-cluster, the sandbox stand-in for N vs 4N executors (BENCH.md) — over
+dedup pipeline AND its signature kernel at two cluster sizes — 2 executor
+JVMs (N=8 cores) vs 8 executor JVMs (4N=32 cores), 4 cores + 4g each, via
+local-cluster, the literal N-vs-4N-EXECUTORS shape of the north rule: the
+executor COUNT varies, the executor shape stays fixed, so the 4N leg gets
+the 4x aggregate heap and 4x shuffle servers a real 4N cluster has. The
+r01-r04 emulation held executor count at 4 and varied cores-per-executor
+instead — and a same-window A/B (tools/topo_probe.py, 2026-08-19, BENCH.md
+§topology) showed that shape's N leg runs the identical 60k-row job ~3.5x
+SLOWER on the same 8 cores (73-79 s as 4 JVMs x 2 cores vs 20-23 s as
+2 JVMs x 4 cores): its "raw weak efficiency ≥ 1" readings were a
+handicapped-denominator artifact, not engine scaling. The faithful shape's
+4N leg is itself ~10% faster; its honest ratio is LOWER because the
+denominator is no longer inflated — over
 a deterministic synthetic code corpus, and prints ONE JSON line:
 
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
@@ -307,6 +317,9 @@ def _scaling_worker(parallelism: int, n_workers: int) -> None:
         cores = max(parallelism // n_workers, 1)
         master = f"local-cluster[{n_workers},{cores},6144]"
         extra = {"spark.executor.memory": "4g"}
+    # conf experiments (tools/conf_probe.py) inject overrides through the
+    # environment so an A/B can run two otherwise-identical workers
+    extra.update(json.loads(os.environ.get("SPARK_GRAFT_WORKER_CONF", "{}")))
     spark = get_spark(
         f"bench-scale-{parallelism}", parallelism=parallelism,
         shuffle_partitions=parallelism, master=master, extra_conf=extra,
@@ -345,21 +358,26 @@ class _ScalingWorker:
     budget if a leg wedges), restarts the child once per run() call if it
     died (a crashed leg costs one cold spin-up, not the whole artifact)."""
 
-    def __init__(self, par: int, n_workers: int):
+    def __init__(self, par: int, n_workers: int,
+                 conf: dict | None = None, tag: str = ""):
         self.par, self.n_workers = par, n_workers
+        self.conf, self.tag = conf, tag
         self._spawn()
 
     def _spawn(self) -> None:
         import queue
         import threading
 
-        self.log_path = f"/tmp/bench_worker_{self.par}.log"
+        self.log_path = f"/tmp/bench_worker_{self.par}{self.tag}.log"
         self._log = open(self.log_path, "ab")
+        env = dict(os.environ)
+        if self.conf:
+            env["SPARK_GRAFT_WORKER_CONF"] = json.dumps(self.conf)
         self.proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--scaling-worker",
              str(self.par), str(self.n_workers)],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=self._log,
-            text=True, bufsize=1, env=dict(os.environ),
+            text=True, bufsize=1, env=env,
         )
         self._q: "queue.Queue[str | None]" = queue.Queue()
         self.ready = False
@@ -509,14 +527,24 @@ def _round_summary(legs: dict, ctl_pre: dict, ctl_post: dict) -> dict:
         "kernel_weak_efficiency_host_normalized": _norm(kweak),
         "control_drift": round(drift, 2),
         "window_stable": drift <= 2.0,
+        # the box's OWN 8->32-thread scaling in this window — the physical
+        # ceiling any engine ratio lives under: cache = L2-resident compute,
+        # stream = memory-bandwidth-bound (the shuffle/scan analog)
+        "host_cache_efficiency": round(denom, 3),
+        "host_stream_efficiency": round(
+            max(ctl_pre["stream"]["efficiency"],
+                ctl_post["stream"]["efficiency"]), 3),
         "host_control": {"pre": ctl_pre, "post": ctl_post},
     }
 
 
 def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
                 budget_sec: float = SCALING_BUDGET_SEC) -> dict:
-    """N vs 4N cores on fixed executor JVMs: local-cluster[4,2] (8 cores)
-    vs local-cluster[4,8] (32 cores). Reports the full pipeline AND the
+    """N vs 4N EXECUTORS, fixed executor shape: local-cluster[2,4,6144]
+    (N = 2 JVMs x 4 cores) vs local-cluster[8,4,6144] (4N = 8 JVMs x 4
+    cores). Per-executor load is identical on the two weak-gate legs
+    (30k rows, 4 cores, 4g) — the load profile a real 4x scale-out has.
+    Reports the full pipeline AND the
     signature kernel (the compute that dominates at real scale — BENCH.md).
 
     Noise discipline (VERDICT r02 item 1): each round runs all three Spark
@@ -546,8 +574,16 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
     # warm for every round — the per-round fixed cost drops from ~90 s of
     # cold JVM spin-up to the ~12 s of bracketing controls, so roughly twice
     # as many weather windows fit one budget (see _scaling_worker)
-    w4n = _ScalingWorker(32, 4)
-    wn = _ScalingWorker(8, 4)
+    # topology: vary the EXECUTOR COUNT (2 vs 8 JVMs), hold the executor
+    # shape fixed at 4 cores + 4g — the literal "N vs 4N executors" of the
+    # north rule. Same-window A/B (tools/topo_probe.py, 2026-08-19): the
+    # old fixed-4-JVM shape's N leg (4 JVMs x 2 cores) ran the identical
+    # 60k-row job ~3.5x slower than 2 JVMs x 4 cores on the same 8 cores —
+    # its gate-passing weak ratios (1.09-2.07 in the probe) were inflated
+    # by that handicapped denominator. This shape is the faithful one; its
+    # honest ratio is lower and is what gate_met now asserts.
+    w4n = _ScalingWorker(32, 8)
+    wn = _ScalingWorker(8, 2)
     try:
         w4n.wait_ready()
         wn.wait_ready()
@@ -701,7 +737,7 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
     s = best_round["summary"]
     return {
         "rows": legs["fourn"]["rows"],
-        "mode": "local-cluster, 4 executor JVMs x (2 vs 8) cores",
+        "mode": "local-cluster, (2 vs 8) executor JVMs x 4 cores + 4g each",
         # strong-style numbers (same 240k corpus on both sides): one paired
         # within-window measurement (round 0, or the post-loop re-pair if
         # that was cleaner); all four values and the ratio come from the
@@ -748,6 +784,12 @@ def run_scaling(corpus: str, rounds: int = SCALING_ROUNDS,
             s["kernel_weak_efficiency_host_normalized"],
         "window_stable": s["window_stable"],
         "control_drift": s["control_drift"],
+        # the box's own 8->32-thread scaling in the gate window — the
+        # ceiling the raw ratios live under (stream bounds shuffle/scan,
+        # cache bounds the kernel); a raw miss with these well below 0.8
+        # is the substrate failing to deliver 4x, not the engine
+        "host_cache_efficiency": s.get("host_cache_efficiency"),
+        "host_stream_efficiency": s.get("host_stream_efficiency"),
         "host_control": s["host_control"],
         "efficiency_host_normalized": strong.get("efficiency_host_normalized"),
         "rounds_run": len(all_rounds),
@@ -829,6 +871,7 @@ def main() -> None:
                       "kernel_weak_efficiency_host_normalized", "efficiency",
                       "kernel_efficiency", "kernel_efficiency_host_normalized",
                       "window_stable", "control_drift", "rounds_run",
+                      "host_cache_efficiency", "host_stream_efficiency",
                       "gate_basis", "gate_met", "gate_met_host_normalized",
                       "fourn_fps", "n_fps")
         }

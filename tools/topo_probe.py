@@ -1,0 +1,86 @@
+"""Topology probe: which local-cluster shape is the faithful N-vs-4N stand-in?
+
+BASELINE.json's north rule says "two cluster sizes (N and 4N EXECUTORS)".
+The bench has so far emulated that as 4 executor JVMs x (2 vs 8 cores) —
+varying cores-per-executor at a FIXED executor count, which (a) is not what
+the rule says and (b) pins the 4N leg to the N leg's aggregate heap and
+shuffle-server count, a handicap a real 4N cluster does not have (4x the
+executors bring 4x the memory, 4x the shuffle services, 4x the GC threads).
+
+This probe measures BOTH shapes back-to-back inside one hypervisor weather
+window (bracketed by the numpy host control, same discipline as bench.py):
+
+  execs: local-cluster[2,4,6144] (N=2 executors) vs local-cluster[8,4,6144]
+         (4N=8 executors) — cores-per-executor constant at 4, the literal
+         reading of the rule.
+  cores: local-cluster[4,2,6144] vs local-cluster[4,8,6144] — the shape all
+         prior rounds used.
+
+Each round prints one JSON line per variant with the raw weak-style pipeline
+and kernel efficiencies so the two can be compared inside the same window.
+
+Usage: python tools/topo_probe.py [rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+VARIANTS = {
+    # name -> ((weak parallelism, n_workers), (4N parallelism, n_workers))
+    "execs": ((8, 2), (32, 8)),
+    "cores": ((8, 4), (32, 4)),
+}
+
+
+def main() -> None:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    corpus = bench._ensure_corpus(bench.BENCH_ROWS)
+    small = bench._ensure_corpus(bench.BENCH_ROWS // 4)
+
+    workers = {}
+    for name, (n_spec, fourn_spec) in VARIANTS.items():
+        workers[name] = (
+            bench._ScalingWorker(*n_spec),
+            bench._ScalingWorker(*fourn_spec),
+        )
+    try:
+        for name in VARIANTS:
+            for w in workers[name]:
+                w.wait_ready()
+        for rnd in range(rounds):
+            for name in VARIANTS:
+                wn, w4n = workers[name]
+                ctl_pre = bench.host_control(secs=6.0)
+                legs = {"fourn": w4n.run(corpus), "weak_n": wn.run(small)}
+                ctl_post = bench.host_control(secs=6.0)
+                s = bench._round_summary(legs, ctl_pre, ctl_post)
+                print(json.dumps({
+                    "round": rnd, "variant": name,
+                    "weak_efficiency": s["weak_efficiency"],
+                    "kernel_weak_efficiency": s["kernel_weak_efficiency"],
+                    "weak_norm": s["weak_efficiency_host_normalized"],
+                    "kweak_norm": s["kernel_weak_efficiency_host_normalized"],
+                    "drift": s["control_drift"],
+                    "stable": s["window_stable"],
+                    "fourn_sec": legs["fourn"]["wall_sec"],
+                    "weak_n_sec": legs["weak_n"]["wall_sec"],
+                    "kernel_fourn_fps": legs["fourn"].get("kernel_fps"),
+                    "kernel_weak_n_fps": legs["weak_n"].get("kernel_fps"),
+                    "ts": round(time.time()),
+                }), flush=True)
+    finally:
+        for name in VARIANTS:
+            for w in workers[name]:
+                w.close(kill=True)
+
+
+if __name__ == "__main__":
+    main()
