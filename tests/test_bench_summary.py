@@ -169,3 +169,51 @@ def test_scaling_worker_ready_consumes_preamble():
     t0 = time.time()
     w.wait_ready(timeout=1.0)
     assert time.time() - t0 < 0.1
+
+
+def test_round_summary_reports_host_envelope():
+    # the artifact must carry the window's OWN substrate scaling next to
+    # the raw gate ratios (round 5): cache = conservative max of pre/post,
+    # stream likewise, so a raw miss is attributable to the box
+    legs = {
+        "fourn": {"fps": 4000.0, "kernel_fps": 40000.0, "rows": 240000},
+        "weak_n": {"fps": 1250.0, "kernel_fps": 12500.0, "rows": 60000},
+    }
+    s = bench._round_summary(legs, _ctl(0.9, stream_eff=0.62),
+                             _ctl(0.8, stream_eff=0.71))
+    assert s["host_cache_efficiency"] == 0.9
+    assert s["host_stream_efficiency"] == 0.71
+
+
+def test_worker_conf_override_env(monkeypatch):
+    # _ScalingWorker(conf=...) must ship the overrides to the child via
+    # SPARK_GRAFT_WORKER_CONF (tools/conf_probe.py contract) and tag its
+    # log path so two same-parallelism workers don't collide
+    import json as _json
+
+    captured = {}
+
+    class _P:
+        stdout = iter(())
+        stdin = None
+
+        def poll(self):
+            return 0
+
+        def wait(self, timeout=None):
+            return 0
+
+    def fake_popen(cmd, **kw):
+        captured["env"] = kw["env"]
+        return _P()
+
+    monkeypatch.setattr(bench.subprocess, "Popen", fake_popen)
+    w = bench._ScalingWorker(32, 8, conf={"spark.locality.wait": "0ms"},
+                             tag="_t")
+    assert _json.loads(captured["env"]["SPARK_GRAFT_WORKER_CONF"]) == {
+        "spark.locality.wait": "0ms"}
+    assert w.log_path.endswith("_32_t.log")
+    # a plain worker must NOT inherit an override into its environment
+    w2 = bench._ScalingWorker(8, 2)
+    assert "SPARK_GRAFT_WORKER_CONF" not in captured["env"] or (
+        captured["env"].get("SPARK_GRAFT_WORKER_CONF") in (None, "{}"))
