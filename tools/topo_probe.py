@@ -35,7 +35,13 @@ import bench  # noqa: E402
 
 VARIANTS = {
     # name -> ((weak parallelism, n_workers), (4N parallelism, n_workers))
-    "execs": ((8, 2), (32, 8)),
+    # execs14 is the shipped shape (see bench.run_scaling): 1 vs 4 JVMs of
+    # fixed 4-core+4g shape keeps the 4N leg at 16 cores — inside this
+    # box's memory-bandwidth envelope (host 4->16: stream 0.76/cache 0.96
+    # vs 8->32: stream 0.27/cache 0.79, measured 2026-08-20) — while
+    # staying the literal N-vs-4N-executors reading of the rule.
+    "execs14": ((4, 1), (16, 4)),
+    "execs28": ((8, 2), (32, 8)),
     "cores": ((8, 4), (32, 4)),
 }
 
