@@ -4,8 +4,11 @@ Runs the full pipeline in probe mode (run_pipeline(stage_times=...) — every
 stage materialized eagerly with a count barrier) at the two honest-topology
 legs of the BASELINE gate:
 
-  N  leg: BENCH_ROWS/4 rows on local-cluster[2,4,6144]  (2 executors)
-  4N leg: BENCH_ROWS   rows on local-cluster[8,4,6144]  (8 executors)
+  N  leg: BENCH_ROWS/4 rows on local-cluster[1,4,6144]  (1 executor)
+  4N leg: BENCH_ROWS   rows on local-cluster[4,4,6144]  (4 executors)
+
+(the round-5 final shape — the 4N leg stays at 16 cores, inside this
+box's memory-bandwidth knee; see bench.run_scaling / BENCH.md §8)
 
 and prints each stage's wall on both legs plus the per-stage weak-scaling
 ratio T_N / T_4N (1.0 = the stage absorbs 4x data on 4x executors in the
@@ -92,8 +95,8 @@ def main() -> None:
     best_4n: dict = {}
     for r in range(reps):
         t0 = time.time()
-        leg_4n = spawn(rows, 8, 4)
-        leg_n = spawn(rows // 4, 2, 4)
+        leg_4n = spawn(rows, 4, 4)
+        leg_n = spawn(rows // 4, 1, 4)
         print(f"[rep {r}] paired walls: 4N={leg_4n['TOTAL']}s "
               f"N={leg_n['TOTAL']}s  ({round(time.time() - t0)}s incl "
               f"spin-up)", file=sys.stderr, flush=True)
@@ -102,7 +105,7 @@ def main() -> None:
         for k, v in leg_n.items():
             best_n[k] = min(best_n.get(k, v), v)
 
-    print(f"{'stage':<16}{'N(60k/2ex)':>12}{'4N(240k/8ex)':>14}{'ratio':>8}")
+    print(f"{'stage':<16}{'N(60k/1ex)':>12}{'4N(240k/4ex)':>14}{'ratio':>8}")
     for k in best_4n:
         if k == "cc_iterations":
             print(f"{k:<16}{best_n.get(k, 0):>12}{best_4n[k]:>14}")
