@@ -66,6 +66,13 @@ def get_spark(
         # Keep broadcast autodetection on; dims like the FULL-key set are
         # explicitly hinted where we know better than the stats.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # broadcast builds queue behind running shuffle stages on a busy
+        # cluster; the 300 s default killed an otherwise-healthy 3.84M-row
+        # run mid-pipeline (BroadcastExchange timeout while stage 103's
+        # shuffle held all cores). An hour matches the long-job posture a
+        # 10^12-file run needs — a genuinely stuck broadcast still fails,
+        # just not by racing a healthy stage.
+        .config("spark.sql.broadcastTimeout", "3600")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
