@@ -86,7 +86,12 @@ class DedupConfig:
         """Stable hash of the config — keys per-stage checkpoint tables so a
         rerun with identical config resumes instead of recomputing
         (BASELINE.json: 'resumable from per-stage checkpoints')."""
-        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        # _schema=2: minhash stage tables went array<long> -> array<int>
+        # (round 5); bumping the hash keeps a resume from reading a stage
+        # table written under the old element type.
+        payload = json.dumps(
+            {**asdict(self), "_schema": 2}, sort_keys=True
+        ).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
 

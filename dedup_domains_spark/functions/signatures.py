@@ -33,7 +33,12 @@ _P31 = np.uint64(_MERSENNE31)
 SIGNATURE_STRUCT = StructType([
     StructField("n_tokens", IntegerType()),
     StructField("n_shingles", IntegerType()),
-    StructField("minhash", ArrayType(LongType())),
+    # int32, not long: every MinHash value is < 2^31-1 (mod-Mersenne31
+    # universal hashing), and minhash is the fattest column crossing the
+    # candidate/verify shuffles — 128 values/doc at 4 bytes instead of 8
+    # halves the dominant shuffle payload at 10^12-file scale. probes stay
+    # int64 (they are raw 64-bit shingle hashes).
+    StructField("minhash", ArrayType(IntegerType())),
     StructField("simhash", LongType()),
     StructField("probes", ArrayType(LongType())),
 ])
@@ -109,7 +114,7 @@ def _minhash_simhash(
     cumsum axis=0) are catastrophically slow in numpy — transpose to
     contiguous rows and run 64 cheap 1-D reduceats instead."""
     ndocs = len(counts)
-    sig = np.empty((ndocs, num_perm), dtype=np.int64)
+    sig = np.empty((ndocs, num_perm), dtype=np.int32)
     sim = np.zeros(ndocs, dtype=np.uint64)
     ends = offsets + counts
     d0 = 0
@@ -123,7 +128,7 @@ def _minhash_simhash(
         f31 = flat31[s0:s1]
         for p in range(num_perm):
             v = _mod_mersenne31(a[p] * f31 + b[p])
-            sig[d0:d1, p] = np.minimum.reduceat(v, off_c).astype(np.int64)
+            sig[d0:d1, p] = np.minimum.reduceat(v, off_c).astype(np.int32)
         bytes_t = np.ascontiguousarray(flat[s0:s1].view(np.uint8).reshape(-1, 8).T)
         bits_t = np.unpackbits(bytes_t, axis=0, bitorder="little")  # (64, n)
         nd = d1 - d0
@@ -203,7 +208,7 @@ def _batch_signatures_arrow(arr, cfg: DedupConfig):
         arr, cfg.shingle_k
     )
     if ndocs == 0:
-        sig = np.empty((0, cfg.num_perm), dtype=np.int64)
+        sig = np.empty((0, cfg.num_perm), dtype=np.int32)
         simhashes = np.empty(0, dtype=np.int64)
     else:
         flat31 = flat % _P31
@@ -212,7 +217,7 @@ def _batch_signatures_arrow(arr, cfg: DedupConfig):
         )
     mh = pa.ListArray.from_arrays(
         pa.array(np.arange(ndocs + 1, dtype=np.int32) * cfg.num_perm),
-        pa.array(sig.ravel(), type=pa.int64()),
+        pa.array(sig.ravel(), type=pa.int32()),
     )
     take = np.minimum(counts, cfg.containment_probe_shingles)
     probe_vals = flat.view(np.int64)[_segment_take_indices(offsets, take)]
