@@ -43,16 +43,33 @@ SIGNATURE_STRUCT = StructType([
     StructField("probes", ArrayType(LongType())),
 ])
 
-# Containment needs only sizes + bottom-s probes; Catalyst cannot prune
-# columns INSIDE a UDF, so a containment-only caller that used the full
-# struct would pay the 128-permutation MinHash loop and the SimHash bit
-# transpose for fields it drops. add_signatures(probes_only=True) emits
-# this narrow struct instead — the kernel reduces to tokenize + head-slice.
-PROBE_STRUCT = StructType([
-    StructField("n_tokens", IntegerType()),
-    StructField("n_shingles", IntegerType()),
-    StructField("probes", ArrayType(LongType())),
-])
+# Catalyst cannot prune columns INSIDE a UDF, so a caller that used the
+# full struct would pay the 128-permutation MinHash loop and the SimHash
+# bit transpose for fields it drops. add_signatures(fields=...) emits only
+# the requested signature fields and the kernel skips the arithmetic behind
+# the omitted ones: containment needs only probes (tokenize + head-slice),
+# the SimHash block sweep needs only simhash (skips the perm loop), the LSH
+# band sweep needs only minhash (skips the bit transpose). Every emitted
+# field is bit-identical across variants — same tokenizer, same math.
+_FIELD_TYPES = {
+    "minhash": ArrayType(IntegerType()),
+    "simhash": LongType(),
+    "probes": ArrayType(LongType()),
+}
+_ALL_FIELDS = ("minhash", "simhash", "probes")
+
+
+def _sig_struct(fields: tuple[str, ...]) -> StructType:
+    return StructType(
+        [
+            StructField("n_tokens", IntegerType()),
+            StructField("n_shingles", IntegerType()),
+        ]
+        + [StructField(f, _FIELD_TYPES[f]) for f in _ALL_FIELDS if f in fields]
+    )
+
+
+PROBE_STRUCT = _sig_struct(("probes",))
 # NOTE: the full shingle set is deliberately NOT emitted/cached — materializing
 # ~500 longs/doc through Arrow and the block cache costs far more (heap
 # pressure poisons every downstream stage) than re-deriving postings with
@@ -105,17 +122,22 @@ _CHUNK_SHINGLES = 16384
 def _minhash_simhash(
     flat: np.ndarray, flat31: np.ndarray, offsets: np.ndarray,
     counts: np.ndarray, a: np.ndarray, b: np.ndarray, num_perm: int,
-) -> tuple[np.ndarray, np.ndarray]:
+    want_minhash: bool = True, want_simhash: bool = True,
+) -> tuple[np.ndarray | None, np.ndarray | None]:
     """Segmented MinHash + SimHash over doc-chunks of ~_CHUNK_SHINGLES.
 
     MinHash: one segmented min per permutation (reduceat needs non-empty
     segments — batch_shingle_segments guarantees counts >= 1). SimHash:
     per-bit ones-count per doc; strided segmented sums (reduceat axis=0 /
     cumsum axis=0) are catastrophically slow in numpy — transpose to
-    contiguous rows and run 64 cheap 1-D reduceats instead."""
+    contiguous rows and run 64 cheap 1-D reduceats instead.
+
+    want_minhash/want_simhash skip the respective arithmetic entirely for
+    callers that drop the field (the chunk walk itself is free); emitted
+    values are bit-identical regardless of which flags are on."""
     ndocs = len(counts)
-    sig = np.empty((ndocs, num_perm), dtype=np.int32)
-    sim = np.zeros(ndocs, dtype=np.uint64)
+    sig = np.empty((ndocs, num_perm), dtype=np.int32) if want_minhash else None
+    sim = np.zeros(ndocs, dtype=np.uint64) if want_simhash else None
     ends = offsets + counts
     d0 = 0
     while d0 < ndocs:
@@ -125,23 +147,27 @@ def _minhash_simhash(
         d1 = min(max(d1, d0 + 1), ndocs)
         s0, s1 = int(offsets[d0]), int(ends[d1 - 1])
         off_c = (offsets[d0:d1] - s0).astype(np.intp)
-        f31 = flat31[s0:s1]
-        for p in range(num_perm):
-            v = _mod_mersenne31(a[p] * f31 + b[p])
-            sig[d0:d1, p] = np.minimum.reduceat(v, off_c).astype(np.int32)
-        bytes_t = np.ascontiguousarray(flat[s0:s1].view(np.uint8).reshape(-1, 8).T)
-        bits_t = np.unpackbits(bytes_t, axis=0, bitorder="little")  # (64, n)
-        nd = d1 - d0
-        ones = np.empty((nd, 64), dtype=np.int64)
-        for bit in range(64):
-            ones[:, bit] = np.add.reduceat(bits_t[bit], off_c, dtype=np.int32)
-        simbits = (ones * 2 > counts[d0:d1, None]).astype(np.uint64)
-        sm = np.zeros(nd, dtype=np.uint64)
-        for bit in range(64):
-            sm |= simbits[:, bit] << np.uint64(bit)
-        sim[d0:d1] = sm
+        if want_minhash:
+            f31 = flat31[s0:s1]
+            for p in range(num_perm):
+                v = _mod_mersenne31(a[p] * f31 + b[p])
+                sig[d0:d1, p] = np.minimum.reduceat(v, off_c).astype(np.int32)
+        if want_simhash:
+            bytes_t = np.ascontiguousarray(
+                flat[s0:s1].view(np.uint8).reshape(-1, 8).T
+            )
+            bits_t = np.unpackbits(bytes_t, axis=0, bitorder="little")  # (64, n)
+            nd = d1 - d0
+            ones = np.empty((nd, 64), dtype=np.int64)
+            for bit in range(64):
+                ones[:, bit] = np.add.reduceat(bits_t[bit], off_c, dtype=np.int32)
+            simbits = (ones * 2 > counts[d0:d1, None]).astype(np.uint64)
+            sm = np.zeros(nd, dtype=np.uint64)
+            for bit in range(64):
+                sm |= simbits[:, bit] << np.uint64(bit)
+            sim[d0:d1] = sm
         d0 = d1
-    return sig, sim.view(np.int64)
+    return sig, sim.view(np.int64) if want_simhash else None
 
 
 def _batch_signatures(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
@@ -189,13 +215,20 @@ def _segment_take_indices(
     return np.repeat(offsets.astype(np.int64), take) + within
 
 
-def _batch_signatures_arrow(arr, cfg: DedupConfig):
+def _batch_signatures_arrow(arr, cfg: DedupConfig,
+                            fields: tuple[str, ...] = _ALL_FIELDS):
     """Arrow-native signature batch: pyarrow string Array in, pyarrow
     StructArray out. Zero-copy on BOTH sides — the tokenizer reads the
     Arrow UTF-8 buffer directly (no Python str materialization, no
     re-encode) and minhash/probes are emitted as ListArrays built from the
     flat numpy outputs (no per-row list building, no pandas assembly).
-    Hash-identical to _batch_signatures: both tokenize the same bytes."""
+    Hash-identical to _batch_signatures: both tokenize the same bytes.
+
+    ``fields`` limits the emitted signature columns AND the arithmetic:
+    without "minhash" the 128-permutation loop is skipped, without
+    "simhash" the bit transpose is skipped, without "probes" the
+    head-slice gather is skipped. Emitted values are bit-identical across
+    variants (same tokenizer output feeds the same math)."""
     import pyarrow as pa
 
     from dedup_domains_spark.functions.tokenize_np import (
@@ -203,80 +236,67 @@ def _batch_signatures_arrow(arr, cfg: DedupConfig):
     )
 
     ndocs = len(arr)
-    a, b = _perm_params(cfg)
     flat, offsets, counts, n_tokens = batch_shingle_segments_arrow(
         arr, cfg.shingle_k
     )
+    want_mh, want_sh = "minhash" in fields, "simhash" in fields
+    sig = simhashes = None
     if ndocs == 0:
         sig = np.empty((0, cfg.num_perm), dtype=np.int32)
         simhashes = np.empty(0, dtype=np.int64)
-    else:
-        flat31 = flat % _P31
+    elif want_mh or want_sh:
+        a, b = _perm_params(cfg)
+        flat31 = flat % _P31 if want_mh else None
         sig, simhashes = _minhash_simhash(
-            flat, flat31, offsets, counts, a, b, cfg.num_perm
+            flat, flat31, offsets, counts, a, b, cfg.num_perm,
+            want_minhash=want_mh, want_simhash=want_sh,
         )
-    mh = pa.ListArray.from_arrays(
-        pa.array(np.arange(ndocs + 1, dtype=np.int32) * cfg.num_perm),
-        pa.array(sig.ravel(), type=pa.int32()),
-    )
-    take = np.minimum(counts, cfg.containment_probe_shingles)
-    probe_vals = flat.view(np.int64)[_segment_take_indices(offsets, take)]
-    probes = pa.ListArray.from_arrays(
-        pa.array(np.concatenate(([0], np.cumsum(take))).astype(np.int32)),
-        pa.array(probe_vals, type=pa.int64()),
-    )
-    return pa.StructArray.from_arrays(
-        [
-            pa.array(n_tokens.astype(np.int32)),
-            pa.array(counts.astype(np.int32)),
-            mh,
-            pa.array(simhashes, type=pa.int64()),
-            probes,
-        ],
-        names=["n_tokens", "n_shingles", "minhash", "simhash", "probes"],
-    )
+    children = [
+        pa.array(n_tokens.astype(np.int32)),
+        pa.array(counts.astype(np.int32)),
+    ]
+    names = ["n_tokens", "n_shingles"]
+    if want_mh:
+        children.append(pa.ListArray.from_arrays(
+            pa.array(np.arange(ndocs + 1, dtype=np.int32) * cfg.num_perm),
+            pa.array(sig.ravel(), type=pa.int32()),
+        ))
+        names.append("minhash")
+    if want_sh:
+        children.append(pa.array(simhashes, type=pa.int64()))
+        names.append("simhash")
+    if "probes" in fields:
+        take = np.minimum(counts, cfg.containment_probe_shingles)
+        probe_vals = flat.view(np.int64)[_segment_take_indices(offsets, take)]
+        children.append(pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(take))).astype(np.int32)),
+            pa.array(probe_vals, type=pa.int64()),
+        ))
+        names.append("probes")
+    return pa.StructArray.from_arrays(children, names=names)
 
 
 def _batch_probes_arrow(arr, cfg: DedupConfig):
-    """Probes-only Arrow batch: tokenize + per-doc bottom-s head-slice, no
-    MinHash permutation loop, no SimHash bit transpose. Probe values are
-    BIT-IDENTICAL to _batch_signatures_arrow's (same tokenizer, same
-    head-slice of the same sorted shingle segments), so a probes-only
-    signature table is interchangeable with the full one for containment."""
-    import pyarrow as pa
-
-    from dedup_domains_spark.functions.tokenize_np import (
-        batch_shingle_segments_arrow,
-    )
-
-    flat, offsets, counts, n_tokens = batch_shingle_segments_arrow(
-        arr, cfg.shingle_k
-    )
-    take = np.minimum(counts, cfg.containment_probe_shingles)
-    probe_vals = flat.view(np.int64)[_segment_take_indices(offsets, take)]
-    probes = pa.ListArray.from_arrays(
-        pa.array(np.concatenate(([0], np.cumsum(take))).astype(np.int32)),
-        pa.array(probe_vals, type=pa.int64()),
-    )
-    return pa.StructArray.from_arrays(
-        [
-            pa.array(n_tokens.astype(np.int32)),
-            pa.array(counts.astype(np.int32)),
-            probes,
-        ],
-        names=["n_tokens", "n_shingles", "probes"],
-    )
+    """Probes-only Arrow batch — kept as a named entry point for tests; the
+    field-pruned kernel above does the work (no MinHash permutation loop,
+    no SimHash bit transpose; probe values BIT-IDENTICAL to the full
+    variant's: same tokenizer, same head-slice of the same segments)."""
+    return _batch_signatures_arrow(arr, cfg, fields=("probes",))
 
 
 def add_signatures(
     df: DataFrame, cfg: DedupConfig, repartition: int | None = None,
-    probes_only: bool = False,
+    probes_only: bool = False, fields: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Attach (n_tokens, n_shingles, minhash, simhash, probes) — or, with
-    ``probes_only=True``, just (n_tokens, n_shingles, probes) for callers
-    that never read minhash/simhash (the containment scale path): the
-    kernel then skips the 128-permutation MinHash loop and the SimHash bit
-    transpose entirely.
+    ``fields=(...)`` (subset of minhash/simhash/probes), just the named
+    signature columns, with the kernel skipping the arithmetic behind the
+    omitted ones: no "minhash" drops the 128-permutation loop, no
+    "simhash" drops the bit transpose, no "probes" drops the head-slice.
+    ``probes_only=True`` is the legacy spelling of fields=("probes",) —
+    the containment scale path. Emitted values are bit-identical across
+    variants, so any field-pruned table is interchangeable with the full
+    one for the fields it carries.
 
     Repartitions before the UDF by default: upstream can arrive arbitrarily
     unbalanced — AQE coalesces small projections, and a parquet scan of a
@@ -296,14 +316,16 @@ def add_signatures(
 
     from pyspark.sql.functions import arrow_udf
 
-    if probes_only:
-        @arrow_udf(PROBE_STRUCT)
-        def _sig(texts):
-            return _batch_probes_arrow(texts, cfg)
-    else:
-        @arrow_udf(SIGNATURE_STRUCT)
-        def _sig(texts):
-            return _batch_signatures_arrow(texts, cfg)
+    if fields is None:
+        fields = ("probes",) if probes_only else _ALL_FIELDS
+    unknown = set(fields) - set(_ALL_FIELDS)
+    if unknown:
+        raise ValueError(f"unknown signature fields: {sorted(unknown)}")
+    fields = tuple(f for f in _ALL_FIELDS if f in fields)
+
+    @arrow_udf(_sig_struct(fields))
+    def _sig(texts):
+        return _batch_signatures_arrow(texts, cfg, fields)
 
     return (
         df.withColumn("_sig", _sig(F.col("content")))

@@ -560,20 +560,40 @@ def tfidf_topk_terms(spark, sf_dir):
     "dedup:ngram_jaccard",
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    # sh fans out to 3 branches but needs NO materialization: the explode is
-    # JVM codegen and all branches sit above the distinct's Exchange, which
-    # Catalyst reuses (ReusedExchange) — measured 3.7 -> 4.6 s WORSE with a
-    # localCheckpoint here (sf0.1; _materialize pays off only for Arrow-UDF
-    # nodes whose branches don't share an Exchange, see minhash_lsh_pairs).
-    # Shingles join/distinct on xxhash64 longs, not trigram strings: the
-    # self-join is the query's biggest shuffle and 8-byte keys carry 3-5x
-    # less than ~20-40-byte trigrams (same trade MinHash makes; a cross-pair
-    # collision needs 2^-64 — measured identical output, 15% faster at sf0.1)
+    return _ngram_jaccard_graph(spark, sf_dir, threshold=0.5).select(
+        "id_a", "id_b", F.round(F.col("_jac"), 4).alias("jaccard")
+    )
+
+
+def _ngram_jaccard_graph(spark, sf_dir, threshold: float):
+    """Shared trigram-Jaccard pair builder for ngram_jaccard_pairs (0.5) and
+    connected_components_ngram (0.3). Shape (round 6 restructure, guide
+    §2.4/§2.5):
+
+    * repartition("doc_id") straight off the scan: the driver's parquet
+      tables are single-row-group files, so the scan — and every map-side
+      operator above it, which here is the whole tokenize+explode chain —
+      otherwise runs on ONE core (guide §2.5 input skew). One tiny
+      full-text shuffle parallelizes all of it, and the identical Exchange
+      is reused by every consumer subtree (the r05 plan computed the
+      explode+distinct chain FOUR times: both join sides and both size
+      aggregates).
+    * no `.distinct()`: ngram_shingles already emits array_distinct per
+      doc, so (doc_id, s) rows are unique by construction — the global
+      distinct was a full extra Exchange + dedup of the shingle mass for
+      nothing (hash-collision caveat is the same 2^-64 class the r05
+      hashed-key change accepted; oracle-verified identical at all SFs).
+    * sizes aggregate keys on doc_id, which the repartition already
+      clusters — zero additional Exchange.
+    * shingles join on xxhash64 longs, not trigram strings: 8-byte keys
+      carry 3-5x less than ~20-40-byte trigrams (unchanged from r05).
+    """
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     sh = (
         d.select("doc_id", F.explode(T.ngram_shingles(F.col("text"), 3)).alias("_g"))
         .select("doc_id", F.xxhash64("_g").alias("s"))
-        .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
@@ -588,8 +608,8 @@ def ngram_jaccard_pairs(spark, sf_dir):
     jac = F.col("ic") / (F.col("sza") + F.col("szb") - F.col("ic"))
     return (
         inter.join(sa, "id_a").join(sb, "id_b")
-        .filter(jac >= 0.5)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(jac >= threshold)
+        .withColumn("_jac", jac)
     )
 
 
@@ -1053,7 +1073,8 @@ def incremental_near_dup(spark, sf_dir):
         ).alias("content"),
     )
     corpus = old.unionByName(twins).unionByName(fresh)
-    bt = lsh_band_table(add_signatures(corpus, cfg), cfg)
+    # minhash-only kernel: the band table never reads simhash/probes
+    bt = lsh_band_table(add_signatures(corpus, cfg, fields=("minhash",)), cfg)
     cand = (
         bt.filter(F.col("uid") >= 3_000_000)
         .select(F.col("uid").alias("new_id"), "band", "band_hash")
@@ -1155,26 +1176,11 @@ _CC_EDGES_SQL = """
 def connected_components_ngram(spark, sf_dir):
     from dedup_domains_spark.operators.connected_components import connected_components
 
-    d = _t(spark, sf_dir, "documents")
-    # no materialization: branches share the distinct's Exchange (see
-    # ngram_jaccard_pairs — a localCheckpoint here measured 3x WORSE);
-    # hashed shingle keys for the same shuffle-volume reason
-    sh = (
-        d.select("doc_id", F.explode(T.ngram_shingles(F.col("text"), 3)).alias("_g"))
-        .select("doc_id", F.xxhash64("_g").alias("s"))
-        .distinct()
+    # pair builder shared with ngram_jaccard_pairs — see _ngram_jaccard_graph
+    # for the round-6 restructure (scan repartition, no redundant distinct)
+    pairs = _ngram_jaccard_graph(spark, sf_dir, threshold=0.3).select(
+        "id_a", "id_b"
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("ic"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
-    jac = F.col("ic") / (F.col("sza") + F.col("szb") - F.col("ic"))
-    pairs = inter.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.3).select("id_a", "id_b")
     return connected_components(pairs)
 
 
@@ -1423,8 +1429,15 @@ def minhash_lsh_pairs(spark, sf_dir):
     from dedup_domains_spark.operators.verify import attach_minhash_estimate
 
     cfg = DedupConfig()
-    # fan-out node: both band-table filters + both estimate joins read sig
-    sig = _materialize(add_signatures(_twin_corpus(spark, sf_dir, "append"), cfg))
+    # fan-out node: both band-table filters + both estimate joins read sig.
+    # fields=("minhash",): nothing here reads simhash/probes, so the kernel
+    # skips the bit transpose + head-slice (guide §4 — don't compute what
+    # you throw away); content is projected away so the checkpoint blocks
+    # hold (uid, minhash) instead of the full corpus text (guide §2.3).
+    sig = _materialize(
+        add_signatures(_twin_corpus(spark, sf_dir, "append"), cfg,
+                       fields=("minhash",)).select("uid", "minhash")
+    )
     bt = lsh_band_table(sig, cfg)
     a = bt.filter((F.col("uid") < _TWIN) & (F.col("uid") % 10 == 0)).select(
         F.col("uid").alias("id_a"), "band", "band_hash"
@@ -1458,8 +1471,14 @@ def simhash_pairs(spark, sf_dir):
     from dedup_domains_spark.operators.simhash_buckets import simhash_block_table
 
     cfg = DedupConfig()
-    # fan-out node: both block-table filters + both simhash joins read sig
-    sig = _materialize(add_signatures(_twin_corpus(spark, sf_dir, "identical"), cfg))
+    # fan-out node: both block-table filters + both simhash joins read sig.
+    # fields=("simhash",): nothing here reads minhash/probes, so the kernel
+    # skips the 128-permutation MinHash loop (guide §4); content is
+    # projected away so the checkpoint holds (uid, simhash) only.
+    sig = _materialize(
+        add_signatures(_twin_corpus(spark, sf_dir, "identical"), cfg,
+                       fields=("simhash",)).select("uid", "simhash")
+    )
     bt = simhash_block_table(sig, cfg)
     a = bt.filter((F.col("uid") < _TWIN) & (F.col("uid") % 10 == 0)).select(
         F.col("uid").alias("id_a"), "block", "block_val"

@@ -145,16 +145,18 @@ def test_pipeline_job_budget(spark):
     silently regresses. Job count is deterministic for a seeded corpus and
     fixed config (timing is not), so an exact upper bound is assertable.
 
-    The CC fixpoint loop contributes 2 jobs per iteration (localCheckpoint
-    + convergence probe, round-1 probe skipped), and iteration count depends
-    on the duplicate graph's diameter — corpus-size-dependent — so the
-    budget is iteration-aware: BASE covers everything outside the loop
-    (22 measured post-diet: identity/exact/signature-materialization — the
-    probe collection doubling as the sig materializer — the CC labels-init
-    scan that doubles as the edges materializer, election, survivors,
-    cluster_map) plus 2 x cc_iterations, plus 2 headroom for Spark
-    scheduling differences. If this fails after an intentional change,
-    re-measure and move BASE WITH a BENCH.md note."""
+    The CC fixpoint loop contributes ONE job per iteration (round 6: the
+    lazily-truncated label table is materialized BY the convergence count,
+    so checkpoint + probe share a job — r05 paid 2/iteration), and
+    iteration count depends on the duplicate graph's diameter —
+    corpus-size-dependent — so the budget is iteration-aware: BASE covers
+    everything outside the loop (22 measured post-diet:
+    identity/exact/signature-materialization — the probe collection
+    doubling as the sig materializer — the CC labels-init scan that
+    doubles as the edges materializer, election, survivors, cluster_map)
+    plus 1 x cc_iterations, plus 2 headroom for Spark scheduling
+    differences. If this fails after an intentional change, re-measure and
+    move BASE WITH a BENCH.md note."""
     from dedup_domains_spark.config import DedupConfig
     from dedup_domains_spark.datagen import gen_code_corpus
     from dedup_domains_spark.plans.pipeline import run_pipeline
@@ -174,11 +176,11 @@ def test_pipeline_job_budget(spark):
     cc_iters = {r["stage"]: r["count"] for r in res.metrics.collect()}[
         "cc_iterations"
     ]
-    budget = 22 + 2 * cc_iters + 2
+    budget = 22 + cc_iters + 2
     assert 0 < len(jobs) <= budget, (
         f"pipeline ran {len(jobs)} jobs at cc_iterations={cc_iters} — "
         f"barrier diet regressed (budget {budget} = 22 base + "
-        f"2x{cc_iters} CC rounds + 2 headroom); job ids: {sorted(jobs)}"
+        f"1x{cc_iters} CC rounds + 2 headroom); job ids: {sorted(jobs)}"
     )
 
 
