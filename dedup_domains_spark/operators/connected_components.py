@@ -78,9 +78,33 @@ def connected_components(
     labels = _truncate(
         adj.select(F.col("src").alias("uid"))
         .distinct()
-        .withColumn("cluster_id", F.col("uid"))
+        .withColumn("cluster_id", F.col("uid")),
+        eager=False,
     )
+    # the count() is the labels-init materializer (same one job as the old
+    # eager checkpoint) AND yields the node count for free — which sizes the
+    # loop's shuffle partitions ADAPTIVELY: label/adjacency tables are
+    # (long, long) rows, so the session's scan-sized shuffle-partition
+    # setting leaves most loop partitions empty at small component counts
+    # while every empty partition still costs a task per exchange per
+    # round (guide §2.2 — fewer, larger reduce partitions). ~250k rows
+    # (≈4 MB) per partition, capped by the session setting so a billion-node
+    # graph on a real cluster keeps its full fan-out.
+    n_nodes = labels.count()
+    spark = edges.sparkSession
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(1, min(sess_parts, -(-n_nodes // 250_000)))
 
+    try:
+        if loop_parts != sess_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        return _label_loop(adj, labels, max_iterations, durable, stats)
+    finally:
+        if loop_parts != sess_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
+
+
+def _label_loop(adj, labels, max_iterations, durable, stats):
     converged = False
     iterations = 0
     for it in range(max_iterations):

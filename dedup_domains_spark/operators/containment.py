@@ -26,12 +26,19 @@ from the join key.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
 from dedup_domains_spark.config import DedupConfig
 from dedup_domains_spark.functions.signatures import explode_shingles_udf
+
+
+# Hard ceiling on the collected probe-filter set: ~30M int64s ≈ 240 MB on
+# the driver plus one broadcast copy per executor. Above this the broadcast
+# regime is the wrong tool — fail loudly (VERDICT r05 nit 2) instead of
+# letting toPandas OOM the driver.
+MAX_PROBE_FILTER_ROWS = 30_000_000
 
 
 def collect_probe_filter(sig_df: DataFrame, cfg: DedupConfig):
@@ -42,13 +49,26 @@ def collect_probe_filter(sig_df: DataFrame, cfg: DedupConfig):
     This collection SCANS every partition of sig_df (the containee filter
     sits above the scan), so when sig_df is an unpopulated cache the call
     doubles as its materializing action — run_pipeline exploits that to fuse
-    its sig_df.count() barrier with this collection into one job."""
+    its sig_df.count() barrier with this collection into one job.
+
+    Guarded: collects at most MAX_PROBE_FILTER_ROWS + 1 rows (the limit
+    returns the complete set whenever it is under the cap) and raises with
+    a use-the-shuffle-regime message when the cap is hit, so a misconfigured
+    caller fails loudly instead of OOMing the driver."""
     import numpy as np
 
     probe_rows = (
         sig_df.filter(F.col("n_tokens") >= cfg.min_containee_tokens)
-        .select(F.explode("probes").alias("s")).distinct().toPandas()
+        .select(F.explode("probes").alias("s")).distinct()
+        .limit(MAX_PROBE_FILTER_ROWS + 1).toPandas()
     )
+    if len(probe_rows) > MAX_PROBE_FILTER_ROWS:
+        raise RuntimeError(
+            f"containment probe-filter set exceeds {MAX_PROBE_FILTER_ROWS} "
+            f"distinct shingles — the broadcast-probes regime would OOM the "
+            f"driver; run with containment_broadcast_probes=False (shuffle "
+            f"join regime) for corpora this large"
+        )
     return np.sort(probe_rows["s"].to_numpy(dtype=np.int64))
 
 
@@ -118,15 +138,19 @@ def containment_candidates(
             explode_shingles_udf(cfg, keep_only=probe_filter)(F.col("content"))
         ).alias("shingle"),
     )
-    # The DF-cap aggregation and the probe join both consume postings; within
-    # one job Spark would run the tokenize UDF twice. Persist to executor
-    # disk for the duration of the stage — (long, long) rows, linear in the
-    # corpus shingle mass, off-heap of the block cache (the heap-pressure
-    # concern in signatures.py applies to MEMORY caching, not local spill).
-    from pyspark.storagelevel import StorageLevel
+    # The DF-cap aggregation and the probe join both consume postings. In
+    # the broadcast-probes regime the keep_only pushdown has already shrunk
+    # the explode to the probe-hit subset, and re-running that pruned UDF
+    # for the second consumer is CHEAPER than a DISK_ONLY persist + block
+    # read (measured r06: ~0.1-0.4 s per pruned pass vs ~1.5 s of persist
+    # machinery at sf0.1) — so only the shuffle regime, whose explode is
+    # the FULL corpus shingle mass, pays for the spill.
+    postings_cache = None
+    if not broadcast_probes:
+        from pyspark.storagelevel import StorageLevel
 
-    postings_cache = postings.persist(StorageLevel.DISK_ONLY)
-    postings = postings_cache
+        postings_cache = postings.persist(StorageLevel.DISK_ONLY)
+        postings = postings_cache
 
     # document-frequency cap: the FREQUENT set is tiny (boilerplate shingles)
     # — broadcast anti-join instead of re-shuffling the postings
@@ -141,9 +165,15 @@ def containment_candidates(
     # probe symmetry (ADVICE r01): frequent shingles carry no containment
     # signal on EITHER side. A containee whose bottom-s probes include a
     # boilerplate shingle could never hit all s postings (they were capped
-    # away) — drop frequent probes too and require a full house on the
-    # SURVIVING probes (floor 1: a doc whose every probe is boilerplate has
-    # no usable signal and is skipped, as before the fix, but now explicitly).
+    # away), so the full-house test must count only the SURVIVING probes.
+    # r06 restructure: the probe table itself needs NO frequent anti-join
+    # and NO n_probes window — every probe of a doc is one of its own
+    # shingles, so the doc's SELF-row (small_id == big_id) survives the
+    # posting join exactly once per surviving probe, and its _hits count IS
+    # n_probes. The old shape paid an extra Exchange (window over small_id)
+    # + an anti-join for a number the join already knew. Floor-1 semantics
+    # are preserved: a doc whose every probe is boilerplate has no self-row
+    # and is skipped, as before.
     probes = (
         sig_df.filter(F.col("n_tokens") >= cfg.min_containee_tokens)
         .select(
@@ -151,35 +181,48 @@ def containment_candidates(
             F.col("n_shingles").alias("small_sh"),
             F.explode("probes").alias("shingle"),
         )
-        .join(F.broadcast(frequent), "shingle", "leftanti")
     )
-    pw = Window.partitionBy("small_id")
-    probes = probes.withColumn("n_probes", F.count(F.lit(1)).over(pw))
 
     sizes = sig_df.select(F.col(id_col).alias("big_id"), F.col("n_shingles").alias("big_sh"))
 
     probe_side = F.broadcast(probes) if broadcast_probes else probes
     try:
-        hits = (
+        counts = (
             postings.join(probe_side, "shingle")
-            .filter(F.col("small_id") != F.col("big_id"))
-            .groupBy("small_id", "big_id", "n_probes", "small_sh")
+            .groupBy("small_id", "big_id", "small_sh")
             .agg(F.count(F.lit(1)).alias("_hits"))
+        )
+        # n_probes from the self-rows; both branches sit above the SAME
+        # groupBy Exchange, so the shuffle is computed once and reused.
+        # Broadcast only in the broadcast regime — n_probes is one row per
+        # containee, driver-sized exactly when the probe table is.
+        n_probes = (
+            counts.filter(F.col("small_id") == F.col("big_id"))
+            .select("small_id", F.col("_hits").alias("n_probes"))
+        )
+        n_probes_side = F.broadcast(n_probes) if broadcast_probes else n_probes
+        hits = (
+            counts.filter(F.col("small_id") != F.col("big_id"))
+            .join(n_probes_side, "small_id")
             .filter(F.col("_hits") == F.col("n_probes"))
             .join(sizes, "big_id")
             .filter(F.col("big_sh") > F.col("small_sh"))
             .select("small_id", "big_id")
         )
-        if spill is not None:
-            spill.append(postings_cache)
+        if postings_cache is not None:
+            if spill is not None:
+                spill.append(postings_cache)
+            elif eager:
+                # candidate pairs are id-only and small; materialize them
+                # once and release the corpus-shingle-mass spill immediately
+                hits = hits.localCheckpoint(eager=True)
+                postings_cache.unpersist()
         elif eager:
-            # candidate pairs are id-only and small; materialize them once
-            # and release the corpus-shingle-mass spill immediately
             hits = hits.localCheckpoint(eager=True)
-            postings_cache.unpersist()
         return hits
     except Exception:
-        postings_cache.unpersist()
+        if postings_cache is not None:
+            postings_cache.unpersist()
         raise
 
 

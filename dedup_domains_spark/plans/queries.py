@@ -108,13 +108,16 @@ def exact_dedup_clusters(spark, sf_dir):
     "D1,O1",
 )
 def exact_dedup_survivors(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "content_sha256", F.sha2("text", 256)
-    )
-    w = Window.partitionBy("content_sha256").orderBy("doc_id")
+    # row_number()=1 ordered by doc_id ≡ min(doc_id) per hash group — but as
+    # an aggregate the map side PARTIALLY collapses duplicate hashes before
+    # the Exchange and nothing is sorted (guide §2.3 "aggregate before you
+    # shuffle"): the window formulation shuffled every row and sorted each
+    # hash partition just to drop all but one row per key.
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1").select("doc_id", "content_sha256")
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("content_sha256"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_sha256")
     )
 
 
@@ -1859,9 +1862,14 @@ def _containment_over_docs(spark, sf_dir, pairs_fn):
     # container-size join all read sig — without materialization the
     # signature UDF runs 3x (once per consumer). probes_only: containment
     # never reads minhash/simhash, so the kernel skips the 128-perm loop.
-    sig = _materialize(
-        add_signatures(df.select("uid", "content"), cfg, probes_only=True)
-    )
+    # LAZY checkpoint (r06): the first action against sig is pairs_fn's own
+    # probe collection, which scans every partition (the distinct's partial
+    # aggregate sits below the limit), so it doubles as the materializing
+    # job — one driver barrier instead of two, the same fusion run_pipeline
+    # uses. Later consumers read the populated blocks.
+    sig = add_signatures(
+        df.select("uid", "content"), cfg, probes_only=True
+    ).localCheckpoint(eager=False)
     ids = df.select("uid", "doc_id")
     pairs = pairs_fn(df, sig, cfg)
     return (
