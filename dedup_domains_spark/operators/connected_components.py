@@ -87,13 +87,19 @@ def connected_components(
     # (long, long) rows, so the session's scan-sized shuffle-partition
     # setting leaves most loop partitions empty at small component counts
     # while every empty partition still costs a task per exchange per
-    # round (guide §2.2 — fewer, larger reduce partitions). ~250k rows
-    # (≈4 MB) per partition, capped by the session setting so a billion-node
-    # graph on a real cluster keeps its full fan-out.
+    # round (guide §2.2 — fewer, larger reduce partitions). Target ~16k
+    # rows/partition: the loop is latency-bound, so the target balances
+    # per-task scheduling overhead (~5-10 ms) against per-partition join
+    # work of the same order — far below it tasks are pure overhead, far
+    # above it the loop serializes while cores idle (measured: a 240k-node
+    # loop forced to 1 partition erased the fusion win). Capped by the
+    # session setting so a billion-node graph on a real cluster keeps its
+    # full fan-out, and the cap also keeps scaling-leg per-core load
+    # matched (weak legs size shuffle_partitions to their core count).
     n_nodes = labels.count()
     spark = edges.sparkSession
     sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    loop_parts = max(1, min(sess_parts, -(-n_nodes // 250_000)))
+    loop_parts = max(1, min(sess_parts, -(-n_nodes // 16_384)))
 
     try:
         if loop_parts != sess_parts:

@@ -138,15 +138,19 @@ def containment_candidates(
             explode_shingles_udf(cfg, keep_only=probe_filter)(F.col("content"))
         ).alias("shingle"),
     )
-    # The DF-cap aggregation and the probe join both consume postings. In
-    # the broadcast-probes regime the keep_only pushdown has already shrunk
-    # the explode to the probe-hit subset, and re-running that pruned UDF
-    # for the second consumer is CHEAPER than a DISK_ONLY persist + block
-    # read (measured r06: ~0.1-0.4 s per pruned pass vs ~1.5 s of persist
-    # machinery at sf0.1) — so only the shuffle regime, whose explode is
-    # the FULL corpus shingle mass, pays for the spill.
+    # The DF-cap aggregation and the probe join both consume postings —
+    # without a persist the tokenize UDF runs once per consumer. Whether
+    # the persist pays is SIZE-dependent (measured r06, same window): at
+    # 5k docs the pruned re-pass costs 0.1-0.4 s vs ~1.5 s of persist
+    # machinery (no-persist wins); at 240k docs the re-pass costs several
+    # seconds and persist wins 7 s vs 11-14 s. The probe-set size is the
+    # corpus-proportional signal already in hand: persist above ~200k
+    # distinct probes (≈25k docs), skip below, and always persist in the
+    # shuffle regime whose explode is the FULL corpus shingle mass.
     postings_cache = None
-    if not broadcast_probes:
+    if not broadcast_probes or (
+        probe_filter is not None and len(probe_filter) > 200_000
+    ):
         from pyspark.storagelevel import StorageLevel
 
         postings_cache = postings.persist(StorageLevel.DISK_ONLY)
