@@ -139,27 +139,58 @@ def audio_features(df: DataFrame, window: int = 4000) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            # per-row by necessity: decoded PCM lengths vary per payload, so
-            # the windowed-RMS pass can't stack across rows; every step
-            # below is already a whole-array numpy op over that row's PCM
-            for media_id, data in zip(pdf["media_id"], pdf["data"]):
-                pcm = decode_audio(data)
-                nwin = max(len(pcm) // window, 1)
-                w = pcm[: nwin * window].reshape(nwin, -1)
-                rms = np.sqrt((w ** 2).mean(axis=1)) + 1e-12
-                db = (20 * np.log10(rms)).astype(np.float32)
-                delta = (np.diff(db, prepend=db[:1]) > 0)[:64]
-                # packbits zero-pads the last byte's LOW bits; shift them
-                # back out so the value is bit-identical to the MSB-first
-                # shift-accumulate this replaces
-                val = int.from_bytes(
-                    np.packbits(delta).tobytes(), "big"
-                ) >> ((-len(delta)) % 8)
-                out.append((media_id, int(nwin), db.tolist(), f"{val:016x}"))
-            yield pd.DataFrame(
-                out, columns=["media_id", "n_windows", "rms_db", "afingerprint"]
+            if len(pdf) == 0:
+                continue
+            # decode stays per-row (a real codec is inherently per-payload);
+            # everything after it runs as ONE flat-array pass across the
+            # whole batch (VERDICT r05 item 5, the audio analog of the
+            # image path): window-truncated PCM segments are concatenated —
+            # every window is then exactly `window` contiguous samples, so
+            # per-window energy is one reduceat over aligned boundaries —
+            # and the per-row delta/fingerprint math runs on segment-offset
+            # arrays instead of a Python loop.
+            pcms = [decode_audio(d) for d in pdf["data"]]
+            nwin = np.array([max(len(p) // window, 1) for p in pcms],
+                            dtype=np.int64)
+            # a PCM shorter than one window forms a single SHORT window of
+            # its full length (the reshape(-1) the per-row code used)
+            trunc = np.array(
+                [n * window if len(p) >= window else len(p)
+                 for p, n in zip(pcms, nwin)], dtype=np.int64,
             )
+            flat = np.concatenate([p[:t] for p, t in zip(pcms, trunc)])
+            total_win = int(nwin.sum())
+            starts0 = np.concatenate(([0], np.cumsum(nwin)[:-1]))
+            wsizes = np.full(total_win, window, dtype=np.int64)
+            short = trunc < window
+            wsizes[starts0[short]] = trunc[short]
+            bounds = np.concatenate(([0], np.cumsum(wsizes)[:-1])).astype(np.intp)
+            energy = np.add.reduceat(flat.astype(np.float64) ** 2, bounds)
+            rms = np.sqrt(energy / wsizes) + 1e-12
+            db = (20 * np.log10(rms)).astype(np.float32)
+            starts = starts0
+            # sign-of-delta vs previous window, first window of each row
+            # compares against itself (delta 0 -> False) as before
+            prev = np.arange(total_win, dtype=np.int64) - 1
+            prev[starts] = starts
+            delta = db > db[prev]
+            # keep the first 64 windows per row; bit j (MSB-first over the
+            # kept length L) contributes delta[j] << (L-1-j), bit-identical
+            # to the per-row packbits+shift this replaces
+            within = np.arange(total_win, dtype=np.int64) - np.repeat(starts, nwin)
+            keep = within < 64
+            kept_len = np.minimum(nwin, 64)
+            exp = (np.repeat(kept_len, nwin) - 1 - within)[keep].astype(np.uint64)
+            bits = delta[keep].astype(np.uint64) << exp
+            vals = np.zeros(len(pdf), dtype=np.uint64)
+            np.add.at(vals, np.repeat(np.arange(len(pdf)), kept_len), bits)
+            db_rows = np.split(db, starts[1:])
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "n_windows": nwin.astype(np.int32),
+                "rms_db": [r.tolist() for r in db_rows],
+                "afingerprint": [f"{v:016x}" for v in vals],
+            })
 
     return df.filter(F.col("kind") == "audio").mapInPandas(
         fn, schema=AUDIO_FEATURES_SCHEMA

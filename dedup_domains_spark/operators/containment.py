@@ -139,22 +139,32 @@ def containment_candidates(
         ).alias("shingle"),
     )
     # The DF-cap aggregation and the probe join both consume postings —
-    # without a persist the tokenize UDF runs once per consumer. Whether
-    # the persist pays is SIZE-dependent (measured r06, same window): at
-    # 5k docs the pruned re-pass costs 0.1-0.4 s vs ~1.5 s of persist
-    # machinery (no-persist wins); at 240k docs the re-pass costs several
-    # seconds and persist wins 7 s vs 11-14 s. The probe-set size is the
-    # corpus-proportional signal already in hand: persist above ~200k
-    # distinct probes (≈25k docs), skip below, and always persist in the
-    # shuffle regime whose explode is the FULL corpus shingle mass.
+    # unprotected, the tokenize UDF runs once per consumer (and the
+    # broadcast-build jobs in between re-run it again). Protection choices
+    # (measured r06, same-window A/Bs):
+    # * shuffle regime (full corpus shingle mass): DISK_ONLY persist —
+    #   off-heap of the block cache, explicitly released (unchanged).
+    # * broadcast regime, pipeline caller (spill list given): DISK_ONLY
+    #   persist when the probe set says the corpus is big enough that a
+    #   re-pass beats persist machinery (~200k probes ≈ 25k docs: at 240k
+    #   docs persist wins 7 s vs 11-14 s, at 5k docs it loses ~1.5 s) —
+    #   keeps the pipeline's explicit release lifecycle.
+    # * broadcast regime, standalone query: LAZY localCheckpoint — the
+    #   frequent-set broadcast build is the materializing job and every
+    #   later consumer reads blocks; one UDF pass at every size with no
+    #   persist machinery (3.7 -> 3.1 s at sf0.1). Blocks are pruned
+    #   postings only and are freed by the ContextCleaner.
     postings_cache = None
     if not broadcast_probes or (
-        probe_filter is not None and len(probe_filter) > 200_000
+        spill is not None
+        and probe_filter is not None and len(probe_filter) > 200_000
     ):
         from pyspark.storagelevel import StorageLevel
 
         postings_cache = postings.persist(StorageLevel.DISK_ONLY)
         postings = postings_cache
+    elif broadcast_probes:
+        postings = postings.localCheckpoint(eager=False)
 
     # document-frequency cap: the FREQUENT set is tiny (boilerplate shingles)
     # — broadcast anti-join instead of re-shuffling the postings

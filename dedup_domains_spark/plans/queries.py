@@ -510,7 +510,11 @@ def tfidf_topk_terms(spark, sf_dir):
     that prunes to <= k rows per doc. No join, no cartesian; the corpus
     scalar N rides in via a broadcast single-row cross join.
     """
-    d = _t(spark, sf_dir, "documents")
+    # repartition off the single-row-group scan so the explode + map-side
+    # combine run on all cores (guide §2.5; same fix as _ngram_jaccard_graph)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
@@ -643,7 +647,13 @@ def decontaminate_13gram(spark, sf_dir):
     as the stand-in benchmark). Scale shape: the benchmark gram set is
     small by construction → broadcast semi-join against the corpus gram
     explode; the corpus side never shuffles its gram mass."""
-    d = _t(spark, sf_dir, "documents")
+    # repartition off the single-row-group scan: the 13-gram explode is the
+    # whole cost of this query and otherwise runs on one core; both the
+    # bench side and the corpus side sit above the same reusable Exchange
+    # (guide §2.5)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     grams = d.select(
         "doc_id", F.explode(T.ngram_shingles(F.col("text"), 13)).alias("g")
     )
@@ -680,7 +690,12 @@ def chunk_dedup_stats(spark, sf_dir):
     newlines: each doc splits into aligned 20-token chunks, a chunk shared
     by >=2 distinct docs is duplicate mass. Shuffle carries (doc_id,
     16-byte chunk hash) only — content never moves."""
-    d = _t(spark, sf_dir, "documents")
+    # repartition off the single-row-group scan: the tokenize+md5 chunk
+    # explode is the cost here and both consumers (freq + join) sit above
+    # the same reusable Exchange (guide §2.5)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = T.tokens(F.col("text"))
     nch = F.greatest(
         F.ceil(F.size(toks) / F.lit(20.0)).cast("int"), F.lit(1)
@@ -756,6 +771,9 @@ def repo_file_jaccard(spark, sf_dir):
     the containment df-cap; sizes join on repo keys only. No broadcast of
     the repo list is assumed — at 10^8 repos both joins are plain
     shuffle-hash joins on ids."""
+    # NOT repartitioned off the scan: unlike the explode-heavy queries, the
+    # map work here is one md5 per row — measured (r06 A/B) the extra
+    # full-row shuffle loses to the serial hash at this table size
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(F.col("source").alias("repo"), F.md5("text").alias("fh"))
     fork = docs.filter("doc_id % 10 != 0").select(
@@ -967,6 +985,12 @@ def exact_substr_spans(spark, sf_dir):
             ).alias("text"),
         )
     )
+    # repartition off the single-row-group scan: the per-window md5 explode
+    # dominates this query and both wins consumers (freq + dup join) sit
+    # above the same reusable Exchange (guide §2.5)
+    corpus = corpus.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = corpus.select("doc_id", F.split("text", " ").alias("t"))
     nt = F.size("t")
     wins = toks.filter(nt >= 20).select(
@@ -1075,9 +1099,22 @@ def incremental_near_dup(spark, sf_dir):
             F.md5(F.concat("text", F.lit("c"))),
         ).alias("content"),
     )
-    corpus = old.unionByName(twins).unionByName(fresh)
-    # minhash-only kernel: the band table never reads simhash/probes
-    bt = lsh_band_table(add_signatures(corpus, cfg, fields=("minhash",)), cfg)
+    # repartition the (single-row-group-scan-fed) union once: the shingle
+    # explode and the signature UDF otherwise run map-side on one core, and
+    # every sh/sizes consumer shares the one Exchange (guide §2.5, same fix
+    # as _ngram_jaccard_graph)
+    corpus = (
+        old.unionByName(twins).unionByName(fresh)
+        .repartition(spark.sparkContext.defaultParallelism, "uid")
+    )
+    # minhash-only kernel (nothing reads simhash/probes); materialized —
+    # BOTH band-table filters consume it, and without the checkpoint the
+    # signature UDF would run once per side
+    sig = _materialize(
+        add_signatures(corpus, cfg, fields=("minhash",), repartition=0)
+        .select("uid", "minhash")
+    )
+    bt = lsh_band_table(sig, cfg)
     cand = (
         bt.filter(F.col("uid") >= 3_000_000)
         .select(F.col("uid").alias("new_id"), "band", "band_hash")
@@ -1090,9 +1127,13 @@ def incremental_near_dup(spark, sf_dir):
         .select("new_id", "old_id")
         .distinct()
     )
+    # no global .distinct(): ngram_shingles is array_distinct per doc, so
+    # (uid, s) rows are unique by construction; shingles join on xxhash64
+    # longs, not 7-gram strings (the r05 trade — 8-byte keys, 2^-64
+    # collision class, oracle-verified identical)
     sh = corpus.select(
-        "uid", F.explode(T.ngram_shingles(F.col("content"), 7)).alias("s")
-    ).distinct()
+        "uid", F.explode(T.ngram_shingles(F.col("content"), 7)).alias("_g")
+    ).select("uid", F.xxhash64("_g").alias("s"))
     sizes = sh.groupBy("uid").agg(F.count(F.lit(1)).alias("sz"))
     ic = (
         cand.join(sh.withColumnRenamed("uid", "new_id"), "new_id")
@@ -1848,15 +1889,19 @@ def containment_probe_pairs(spark, sf_dir):
 
 def _containment_over_docs(spark, sf_dir, pairs_fn):
     """Shared scaffolding for the containment scale-path queries: documents
-    as a code corpus, signatures, ``pairs_fn(df, sig, cfg)``, and the
-    uid→doc_id remap. The two public queries differ only in the verify
-    strategy inside pairs_fn."""
+    through the real operator machinery, keyed by doc_id. The two public
+    queries differ only in the verify strategy inside pairs_fn.
+
+    r06: the operator is keyed on doc_id (id_col) directly — the old
+    uid=xxhash64(repo,path,commit) keying added two remap joins at the end
+    plus an md5/xxhash projection inside every scan subtree, for a key the
+    operator only needs to be unique. The oracled path (probe sketch →
+    inverted index → DF cap → full-house → substring verify) is unchanged."""
     from dedup_domains_spark.functions.signatures import add_signatures
-    from dedup_domains_spark.sources.code_corpus import with_row_identity
 
     cfg = DedupConfig(min_containee_tokens=8)
-    df = with_row_identity(_docs_as_corpus(spark, sf_dir)).withColumn(
-        "doc_id", F.col("path").cast("long")
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
     )
     # fan-out node: probe collection (toPandas), probe explode, and the
     # container-size join all read sig — without materialization the
@@ -1867,18 +1912,8 @@ def _containment_over_docs(spark, sf_dir, pairs_fn):
     # aggregate sits below the limit), so it doubles as the materializing
     # job — one driver barrier instead of two, the same fusion run_pipeline
     # uses. Later consumers read the populated blocks.
-    sig = add_signatures(
-        df.select("uid", "content"), cfg, probes_only=True
-    ).localCheckpoint(eager=False)
-    ids = df.select("uid", "doc_id")
-    pairs = pairs_fn(df, sig, cfg)
-    return (
-        pairs.join(ids.select(F.col("uid").alias("small_id"),
-                              F.col("doc_id").alias("_sd")), "small_id")
-        .join(ids.select(F.col("uid").alias("big_id"),
-                         F.col("doc_id").alias("_bd")), "big_id")
-        .select(F.col("_sd").alias("small_id"), F.col("_bd").alias("big_id"))
-    )
+    sig = add_signatures(df, cfg, probes_only=True).localCheckpoint(eager=False)
+    return pairs_fn(df, sig, cfg, id_col="doc_id").select("small_id", "big_id")
 
 
 def _docs_as_media(spark, sf_dir, with_twins: bool = False, kind: str = "image"):
@@ -2112,26 +2147,40 @@ def semdedup_cells(spark, sf_dir):
     cents = e.filter("vec_id % 50 = 0").select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
     )
+    # per-side norm precompute (same rationale as brute_force_topk): inline
+    # cosine() would recompute the vector norm once per centroid in the
+    # argmax sweep and both norms per within-cell pair; the quotient is the
+    # same expression tree, so doubles — and the argmax/tie order — are
+    # identical
+    allv = allv.withColumn("_vn", V.l2_norm(F.col("embedding")))
+    cents = cents.withColumn("_cn", V.l2_norm(F.col("cvec")))
     scored = allv.crossJoin(F.broadcast(cents)).withColumn(
-        "_s", V.cosine(F.col("embedding"), F.col("cvec"))
+        "_s",
+        V.dot(F.col("embedding"), F.col("cvec")) / (F.col("_vn") * F.col("_cn")),
     )
     aw = Window.partitionBy("vec_id").orderBy(F.desc("_s"), "cent_id")
     # fan-out node (3 consumers: both pair sides + the final census) — same
-    # materialization policy as the signature tables in the UDF-heavy queries
+    # materialization policy as the signature tables in the UDF-heavy
+    # queries; the norm rides into the checkpoint so pair scoring reuses it
     assign = _materialize(
         scored.withColumn("rn", F.row_number().over(aw))
-        .filter("rn = 1").select("vec_id", "cent_id", "embedding")
+        .filter("rn = 1").select("vec_id", "cent_id", "embedding", "_vn")
     )
     a = assign.select(
-        "cent_id", F.col("vec_id").alias("a_id"), F.col("embedding").alias("_va")
+        "cent_id", F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("_va"), F.col("_vn").alias("_na"),
     )
     b = assign.select(
-        "cent_id", F.col("vec_id").alias("b_id"), F.col("embedding").alias("_vb")
+        "cent_id", F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("_vb"), F.col("_vn").alias("_nb"),
     )
     dropped = (
         a.join(b, "cent_id")
         .filter(F.col("b_id") < F.col("a_id"))
-        .filter(V.cosine(F.col("_va"), F.col("_vb")) >= 0.9)
+        .filter(
+            V.dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= 0.9
+        )
         .select(F.col("a_id").alias("vec_id"))
         .distinct()
     )
@@ -2483,10 +2532,14 @@ def ann_ivf_topk(spark, sf_dir):
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
     )
+    # per-side norm precompute — same rationale (and identical doubles) as
+    # brute_force_topk / semdedup_cells
+    e = e.withColumn("_vn", V.l2_norm(F.col("embedding")))
     cents = e.filter("vec_id % 50 = 0").select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"),
+        F.col("_vn").alias("_cn"),
     )
-    sim = V.cosine(F.col("embedding"), F.col("cvec"))
+    sim = V.dot(F.col("embedding"), F.col("cvec")) / (F.col("_vn") * F.col("_cn"))
     scored = e.crossJoin(F.broadcast(cents)).withColumn("_s", sim)
     aw = Window.partitionBy("vec_id").orderBy(F.desc("_s"), "cent_id")
     assign = (
@@ -2504,12 +2557,19 @@ def ann_ivf_topk(spark, sf_dir):
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id").distinct()
     )
-    qv = e.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("_qv"))
-    cv = e.select("vec_id", F.col("embedding").alias("_cv"))
+    qv = e.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("_qv"),
+        F.col("_vn").alias("_qn"),
+    )
+    cv = e.select("vec_id", F.col("embedding").alias("_cv"),
+                  F.col("_vn").alias("_cn2"))
     rw = Window.partitionBy("q_id").orderBy(F.desc("_s"), "vec_id")
     return (
         cand.join(F.broadcast(qv), "q_id").join(cv, "vec_id")
-        .withColumn("_s", V.cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "_s",
+            V.dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn2")),
+        )
         .withColumn("rank", F.row_number().over(rw))
         .filter("rank <= 5")
         .select(F.col("q_id").alias("query_id"), "rank", F.col("vec_id").alias("neighbor_id"))
