@@ -154,6 +154,14 @@ def containment_candidates(
     #   later consumer reads blocks; one UDF pass at every size with no
     #   persist machinery (3.7 -> 3.1 s at sf0.1). Blocks are pruned
     #   postings only and are freed by the ContextCleaner.
+    # The lazy checkpoint is for STANDALONE callers only: inside the
+    # pipeline's fused job (spill list given) the containment branch runs
+    # concurrently with candidates/verify, and a lazily-checkpointed RDD
+    # raced by the frequent-set broadcast build and the main stages is
+    # computed redundantly under contention (measured r06: pipeline query
+    # 4.9 -> 9.1 s with the checkpoint in the fused job) — there the
+    # pruned re-pass (small corpora) or the explicit DISK_ONLY spill
+    # (large) stays the right tool.
     postings_cache = None
     if not broadcast_probes or (
         spill is not None
@@ -163,7 +171,7 @@ def containment_candidates(
 
         postings_cache = postings.persist(StorageLevel.DISK_ONLY)
         postings = postings_cache
-    elif broadcast_probes:
+    elif broadcast_probes and spill is None:
         postings = postings.localCheckpoint(eager=False)
 
     # document-frequency cap: the FREQUENT set is tiny (boilerplate shingles)

@@ -1480,7 +1480,9 @@ def minhash_lsh_pairs(spark, sf_dir):
     # hold (uid, minhash) instead of the full corpus text (guide §2.3).
     sig = _materialize(
         add_signatures(_twin_corpus(spark, sf_dir, "append"), cfg,
-                       fields=("minhash",)).select("uid", "minhash")
+                       fields=("minhash",),
+                       repartition=spark.sparkContext.defaultParallelism)
+        .select("uid", "minhash")
     )
     bt = lsh_band_table(sig, cfg)
     a = bt.filter((F.col("uid") < _TWIN) & (F.col("uid") % 10 == 0)).select(
@@ -1521,7 +1523,9 @@ def simhash_pairs(spark, sf_dir):
     # projected away so the checkpoint holds (uid, simhash) only.
     sig = _materialize(
         add_signatures(_twin_corpus(spark, sf_dir, "identical"), cfg,
-                       fields=("simhash",)).select("uid", "simhash")
+                       fields=("simhash",),
+                       repartition=spark.sparkContext.defaultParallelism)
+        .select("uid", "simhash")
     )
     bt = simhash_block_table(sig, cfg)
     a = bt.filter((F.col("uid") < _TWIN) & (F.col("uid") % 10 == 0)).select(
@@ -1912,7 +1916,10 @@ def _containment_over_docs(spark, sf_dir, pairs_fn):
     # aggregate sits below the limit), so it doubles as the materializing
     # job — one driver barrier instead of two, the same fusion run_pipeline
     # uses. Later consumers read the populated blocks.
-    sig = add_signatures(df, cfg, probes_only=True).localCheckpoint(eager=False)
+    sig = add_signatures(
+        df, cfg, probes_only=True,
+        repartition=spark.sparkContext.defaultParallelism,
+    ).localCheckpoint(eager=False)
     return pairs_fn(df, sig, cfg, id_col="doc_id").select("small_id", "big_id")
 
 
