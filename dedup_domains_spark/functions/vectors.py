@@ -93,6 +93,34 @@ def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
     return _bucket
 
 
+def hyperplane_buckets_udf(dim: int, n_planes: int, n_tables: int,
+                           seed: int = 42):
+    """ALL tables' buckets in one pandas pass: array<int> of length
+    n_tables, entry t bit-identical to hyperplane_bucket_udf(dim, n_planes,
+    seed + t) (same per-table GEMM, same accumulation) — one UDF node +
+    posexplode replaces n_tables separate UDF invocations per side and the
+    n_tables-way unioned join (r06: at 16 tables the union shape cost 32
+    Arrow round trips and a 16-branch plan per query)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    all_planes = [
+        np.random.default_rng(seed + t).standard_normal((dim, n_planes))
+        for t in range(n_tables)
+    ]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        out = np.zeros((len(m), n_tables), dtype=np.int32)
+        for t, planes in enumerate(all_planes):
+            signs = (m @ planes) > 0
+            for j in range(n_planes):
+                out[:, t] |= signs[:, j].astype(np.int32) << j
+        return pd.Series(list(out))
+
+    return _buckets
+
+
 def bucketed_near_dup_pairs(
     vectors: DataFrame, dim: int, threshold: float = 0.9,
     n_planes: int = 8, n_tables: int = 2, seed: int = 42,
@@ -109,23 +137,25 @@ def bucketed_near_dup_pairs(
     share every bucket deterministically; recall for looser pairs rises
     with n_tables / falls with n_planes (standard LSH trade-off).
     """
-    cand = None
-    for t in range(n_tables):
-        bu = hyperplane_bucket_udf(dim, n_planes, seed + t)
-        # per-side norm precompute — same rationale as brute_force_topk:
-        # an inline cosine() would redo both norm passes per candidate pair
-        side = vectors.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-            l2_norm(F.col(vec_col)).alias("_n"),
-            bu(F.col(vec_col)).alias("_bkt"),
-        )
-        a = side.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
-                        F.col("_n").alias("_na"), "_bkt")
-        b = side.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
-                        F.col("_n").alias("_nb"), "_bkt")
-        j = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
-        cand = j if cand is None else cand.unionByName(j)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    bu = hyperplane_buckets_udf(dim, n_planes, n_tables, seed)
+    # per-side norm precompute — same rationale as brute_force_topk: an
+    # inline cosine() would redo both norm passes per candidate pair. One
+    # posexplode over the all-tables bucket array replaces the per-table
+    # unioned joins (candidate set identical: pairs sharing (table, bucket)
+    # for ANY table, deduped below).
+    side = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+        F.posexplode(bu(F.col(vec_col))).alias("_t", "_bkt"),
+    )
+    a = side.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                    F.col("_n").alias("_na"), "_t", "_bkt")
+    b = side.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                    F.col("_n").alias("_nb"), "_t", "_bkt")
+    cand = (
+        a.join(b, ["_t", "_bkt"]).filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         cand.withColumn("_cos", cos)
@@ -143,23 +173,25 @@ def ann_topk_lsh(
     exact cosine rank within candidates. Scale path for ANN search."""
     from pyspark.sql import Window
 
-    cand = None
-    for t in range(n_tables):
-        bu = hyperplane_bucket_udf(dim, n_planes, seed + t)
-        # per-side norm precompute — same rationale as brute_force_topk
-        qb = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-            l2_norm(F.col(vec_col)).alias("_qn"),
-            bu(F.col(vec_col)).alias("_bkt"),
-        )
-        cb = corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-            l2_norm(F.col(vec_col)).alias("_cn"),
-            bu(F.col(vec_col)).alias("_bkt"),
-        )
-        j = qb.join(cb, "_bkt").filter(F.col("query_id") != F.col("neighbor_id"))
-        cand = j if cand is None else cand.unionByName(j)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    bu = hyperplane_buckets_udf(dim, n_planes, n_tables, seed)
+    # per-side norm precompute + one posexplode over the all-tables bucket
+    # array — see bucketed_near_dup_pairs; candidate set identical to the
+    # per-table unioned joins this replaces
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+        F.posexplode(bu(F.col(vec_col))).alias("_t", "_bkt"),
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+        F.posexplode(bu(F.col(vec_col))).alias("_t", "_bkt"),
+    )
+    cand = (
+        qb.join(cb, ["_t", "_bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     scored = cand.withColumn(
         "_cos", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     )

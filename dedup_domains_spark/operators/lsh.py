@@ -22,20 +22,28 @@ def lsh_band_table(
 ) -> DataFrame:
     """(uid, band, band_hash) — one row per band per doc. ``extra_cols`` ride
     along through the explode (e.g. the event-time column in streaming mode,
-    where joining them back would be an unbounded stream-stream join)."""
-    bands = F.array(*[
-        F.struct(
-            F.lit(i).alias("band"),
-            F.xxhash64(
-                F.lit(i), F.slice("minhash", i * cfg.rows_per_band + 1, cfg.rows_per_band)
-            ).alias("band_hash"),
-        )
-        for i in range(cfg.bands)
-    ])
+    where joining them back would be an unbounded stream-stream join).
+
+    The band sweep is ONE sequence explode + a per-row hash over a
+    band-indexed slice, not an unrolled array of ``bands`` struct
+    expressions: at bands=64 the unrolled form put 64 xxhash64(slice(...))
+    subtrees into every plan that referenced the band table, and Catalyst
+    analysis/optimization over those trees was measurable DRIVER time in
+    the pipeline (guide §7.3 — large plans spend minutes in planning;
+    here ~seconds, paid per action). Values are bit-identical: xxhash64
+    over (int band, slice) hashes the same bytes whether the band index is
+    a literal or a column."""
+    r = cfg.rows_per_band
     return (
-        sig_df.select(id_col, *extra_cols, F.explode(bands).alias("_b"))
-        .select(id_col, *extra_cols,
-                F.col("_b.band").alias("band"), F.col("_b.band_hash").alias("band_hash"))
+        sig_df.select(
+            id_col, *extra_cols, "minhash",
+            F.explode(F.sequence(F.lit(0), F.lit(cfg.bands - 1))).alias("band"),
+        )
+        .select(
+            id_col, *extra_cols, "band",
+            F.expr(f"xxhash64(band, slice(minhash, band * {r} + 1, {r}))")
+            .alias("band_hash"),
+        )
     )
 
 

@@ -1167,8 +1167,15 @@ def incremental_near_dup(spark, sf_dir):
     "D2:containment",
 )
 def containment_pairs_q(spark, sf_dir):
+    # deliberately brute force (the probe path's oracle twin) — but the
+    # streamed side of the nested-loop join inherits the single-row-group
+    # scan's ONE partition, serializing the O(n²) instr sweep on one core;
+    # repartitioning it is a pure parallelism fix (guide §2.5), not a
+    # change to the algorithm
     d = _t(spark, sf_dir, "documents")
-    a = d.select(F.col("doc_id").alias("small_id"), F.col("text").alias("ta"))
+    a = d.select(
+        F.col("doc_id").alias("small_id"), F.col("text").alias("ta")
+    ).repartition(spark.sparkContext.defaultParallelism)
     b = d.select(F.col("doc_id").alias("big_id"), F.col("text").alias("tb"))
     return (
         a.crossJoin(b)
@@ -1936,6 +1943,8 @@ def _docs_as_media(spark, sf_dir, with_twins: bool = False, kind: str = "image")
                 F.encode(F.col("text"), "utf-8").alias("data"),
             )
         )
+    # repartition off the single-row-group scan: the decode mapInPandas is
+    # map-side and otherwise runs the whole batch on one core (guide §2.5)
     return base.select(
         "media_id",
         F.lit(kind).alias("kind"),
@@ -1943,7 +1952,7 @@ def _docs_as_media(spark, sf_dir, with_twins: bool = False, kind: str = "image")
         F.lit(64).alias("width"), F.lit(64).alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
         "data",
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "media_id")
 
 
 # (The former rows-only `image_phash_features` entry is folded into
