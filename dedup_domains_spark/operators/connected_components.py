@@ -100,6 +100,11 @@ def connected_components(
     spark = edges.sparkSession
     sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(1, min(sess_parts, -(-n_nodes // 16_384)))
+    # snap to the session width once the estimate is within 2x of it: a
+    # 13-of-16-partition loop leaves cores idle every round for no overhead
+    # win — the shrink only pays when it removes MOST of the empty tasks
+    if loop_parts * 2 >= sess_parts:
+        loop_parts = sess_parts
 
     try:
         if loop_parts != sess_parts:
