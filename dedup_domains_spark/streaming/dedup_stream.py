@@ -98,6 +98,17 @@ def stream_band_dedup(
     detection is unchanged; parallelism bound = bands * state_subgroups
     groups. State per (band, subgroup) group is a FIFO of band hashes capped
     at max_state_entries.
+
+    STATE-COMPATIBILITY WARNING (ADVICE r05): band_hash is xxhash64 over a
+    slice of ``minhash``, so ANY signature-schema change that alters the
+    hashed bytes — e.g. round 5's array<long> → array<int> element change —
+    invalidates every band hash stored in an existing streaming state
+    checkpoint: a restarted query would never match old hashes again and
+    silently lose all dup suppression against pre-upgrade documents. Batch
+    checkpoints are guarded by the config-hash `_schema` bump
+    (config.config_hash); streaming state is NOT versioned — after a
+    signature-schema change, restart streaming queries from a FRESH
+    checkpoint location (or re-seed state from the batch tables).
     """
     cfg = cfg or DedupConfig()
     from dedup_domains_spark.operators.lsh import lsh_band_table
