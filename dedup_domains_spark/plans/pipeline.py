@@ -31,6 +31,7 @@ Scale shape:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,13 +50,40 @@ from dedup_domains_spark.sources.code_corpus import with_row_identity
 
 @dataclass
 class PipelineResult:
+    """Pipeline outputs. The DIAGNOSTIC frames (lineage, metrics,
+    partition_stats) are built lazily on first attribute access: every
+    classic-mode DataFrame operation pays eager JVM analysis of its plan
+    tree, and building these three (~20 operations over the pipeline's
+    large cached plans) cost measurable driver wall in callers that only
+    consume survivors/cluster_map — the bench legs and the headline query
+    among them (r06; guide §7.3 driver-side planning). Values are
+    identical — only construction time moves to the first consumer."""
+
     survivors: DataFrame     # representative rows + passthrough (full columns)
     cluster_map: DataFrame   # uid, cluster_id, rep_uid, is_rep, electable
     edges: DataFrame         # id_a, id_b, edge_kind — the duplicate graph
-    lineage: DataFrame       # uid, action, reason
-    metrics: DataFrame       # stage, count
-    partition_stats: DataFrame | None = None  # stage, partition_id, rows
+    _lineage_fn: Callable[[], DataFrame] = None    # uid, action, reason
+    _metrics_fn: Callable[[], DataFrame] = None    # stage, count
+    _partition_stats_fn: Callable[[], DataFrame] = None
     sig_df: DataFrame | None = None
+
+    @property
+    def lineage(self) -> DataFrame:
+        if "_lineage" not in self.__dict__:
+            self.__dict__["_lineage"] = self._lineage_fn()
+        return self.__dict__["_lineage"]
+
+    @property
+    def metrics(self) -> DataFrame:
+        if "_metrics" not in self.__dict__:
+            self.__dict__["_metrics"] = self._metrics_fn()
+        return self.__dict__["_metrics"]
+
+    @property
+    def partition_stats(self) -> DataFrame:
+        if "_pstats" not in self.__dict__:
+            self.__dict__["_pstats"] = self._partition_stats_fn()
+        return self.__dict__["_pstats"]
 
 
 def _partition_stats(stages: dict[str, DataFrame]) -> DataFrame:
@@ -266,58 +294,63 @@ def run_pipeline(
     )
     survivors = ckpt.stage(survivors, "survivors")
 
-    # ---- lineage: why every row lived or died (M1 analog) ----
-    lineage = (
-        cluster_map.withColumn(
-            "action",
-            F.when(F.col("is_rep"), F.lit("kept_representative"))
-            .when(~F.col("electable"), F.lit("dropped_contained"))
-            .otherwise(F.lit("dropped_duplicate")),
-        ).select("uid", "cluster_id", "rep_uid", "action")
-        .unionByName(
-            passthrough.select(
-                "uid",
-                F.col("uid").alias("cluster_id"),
-                F.col("uid").alias("rep_uid"),
-                F.lit("passthrough").alias("action"),
+    # ---- lineage / metrics / partition_stats: LAZY (see PipelineResult —
+    # these ~20 DataFrame operations over large cached plans are eager JVM
+    # analysis the survivors-only callers never need) ----
+    def _lineage() -> DataFrame:
+        # why every row lived or died (M1 analog)
+        return (
+            cluster_map.withColumn(
+                "action",
+                F.when(F.col("is_rep"), F.lit("kept_representative"))
+                .when(~F.col("electable"), F.lit("dropped_contained"))
+                .otherwise(F.lit("dropped_duplicate")),
+            ).select("uid", "cluster_id", "rep_uid", "action")
+            .unionByName(
+                passthrough.select(
+                    "uid",
+                    F.col("uid").alias("cluster_id"),
+                    F.col("uid").alias("rep_uid"),
+                    F.lit("passthrough").alias("action"),
+                )
             )
         )
-    )
 
-    # ---- metrics: three single-pass aggregations over cached frames (the
-    # r01 version rescanned via nine unioned groupBy-counts, VERDICT item 3)
-    is_pt = F.expr(passthrough_predicate).cast("long")
-    base = df.agg(
-        F.count(F.lit(1)).alias("_input"), F.sum(is_pt).alias("_pt")
-    )
-    cm = cluster_map.agg(
-        F.sum(F.col("is_rep").cast("long")).alias("_clusters")
-    )
-    reps = exact_map.agg(F.sum(F.col("is_rep").cast("long")).alias("_reps"))
-    onerow = base.crossJoin(cm).crossJoin(reps)
-    metrics = onerow.selectExpr(
-        "stack(6, 'input', _input, 'passthrough', _pt, "
-        "'dedupable', _input - _pt, 'exact_reps', _reps, "
-        "'clusters', _clusters, 'survivors', _clusters + _pt) as (stage, count)"
-    ).unionByName(
-        edges.groupBy(
-            F.concat(F.lit("edges_"), F.col("edge_kind")).alias("stage")
-        ).count()
-    ).unionByName(
-        spark.createDataFrame(
-            [("cc_iterations", cc_stats.get("iterations", 0))],
-            "stage string, count long",
+    def _metrics() -> DataFrame:
+        # three single-pass aggregations over cached frames (the r01
+        # version rescanned via nine unioned groupBy-counts, VERDICT item 3)
+        is_pt = F.expr(passthrough_predicate).cast("long")
+        base = df.agg(
+            F.count(F.lit(1)).alias("_input"), F.sum(is_pt).alias("_pt")
         )
-    )
+        cm = cluster_map.agg(
+            F.sum(F.col("is_rep").cast("long")).alias("_clusters")
+        )
+        reps = exact_map.agg(F.sum(F.col("is_rep").cast("long")).alias("_reps"))
+        onerow = base.crossJoin(cm).crossJoin(reps)
+        return onerow.selectExpr(
+            "stack(6, 'input', _input, 'passthrough', _pt, "
+            "'dedupable', _input - _pt, 'exact_reps', _reps, "
+            "'clusters', _clusters, 'survivors', _clusters + _pt) as (stage, count)"
+        ).unionByName(
+            edges.groupBy(
+                F.concat(F.lit("edges_"), F.col("edge_kind")).alias("stage")
+            ).count()
+        ).unionByName(
+            spark.createDataFrame(
+                [("cc_iterations", cc_stats.get("iterations", 0))],
+                "stage string, count long",
+            )
+        )
 
     spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     return PipelineResult(
         survivors=survivors,
         cluster_map=cluster_map,
         edges=edges,
-        lineage=lineage,
-        metrics=metrics,
-        partition_stats=_partition_stats(
+        _lineage_fn=_lineage,
+        _metrics_fn=_metrics,
+        _partition_stats_fn=lambda: _partition_stats(
             {"signatures": sig_df, "edges": edges, "cluster_map": cluster_map}
         ),
         sig_df=sig_df,
