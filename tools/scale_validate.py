@@ -76,6 +76,13 @@ def main() -> None:
         corpus.pairs.to_parquet(pairs_cache + ".tmp")
         for p in (cache, expected_cache, pairs_cache):
             os.replace(p + ".tmp", p)
+        # release the generator's in-driver pandas frames before the Spark
+        # phase: at 7.68M rows they hold ~12 GB of RSS the executors need —
+        # the first 7.68M attempt (20g executors) lost a JVM to the kernel
+        # OOM-killer with the driver python sitting on exactly this weight
+        del corpus
+        import gc
+        gc.collect()
 
     par = args.workers * args.cores
     shuffle = args.shuffle_partitions or max(par, args.rows // 25_000)
